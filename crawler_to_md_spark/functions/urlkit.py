@@ -1,0 +1,329 @@
+"""URL canonicalization, scope predicates, and filename mapping.
+
+Semantics mirror the reference implementation
+(/root/reference/crawler_to_md/utils.py:109-144 ``normalize_url``,
+utils.py:147-193 ``is_supported_scheme``/``is_url_in_scope``,
+utils.py:10-90 filename helpers) but are expressed as **native Spark column
+expressions** so they run inside whole-stage codegen on the JVM — no Python
+in the hot path.  A vectorized pandas UDF (:func:`canonicalize_udf`) provides
+the full urllib.parse semantics (IPv6 hosts, userinfo, exotic ports) and is
+the documented parity oracle; the native path matches it on every URL shape
+the engine's corpus and the reference's test-suite exercise (verified in
+tests/test_urlkit.py).
+
+Canonical form (reference utils.py:109-144):
+  * strip surrounding whitespace; drop the ``#fragment``
+  * require an absolute URL with a scheme and a hostname
+  * lowercase scheme and hostname; keep an explicit port; drop userinfo
+  * keep path / params / query byte-for-byte
+An invalid URL canonicalizes to NULL (the reference raises ValueError and
+callers skip the URL — scraper.py:205-207, 481-487).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlparse, urlunparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# --------------------------------------------------------------------------
+# Native canonicalization (hot path, whole-stage codegen)
+# --------------------------------------------------------------------------
+
+# scheme "://" netloc rest   (rest = path[;params][?query], fragment removed first)
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$"
+
+
+def defrag(url: Column) -> Column:
+    """Drop everything from the first ``#`` (reference scraper.py:204)."""
+    return F.substring_index(url, "#", 1)
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _URL_RE, 1))
+
+
+def url_netloc(url: Column) -> Column:
+    """netloc exactly as written (may contain userinfo / port)."""
+    return F.regexp_extract(url, _URL_RE, 2)
+
+
+def url_rest(url: Column) -> Column:
+    """path + params + query (fragment must already be stripped)."""
+    return F.regexp_extract(url, _URL_RE, 3)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased hostname: netloc minus userinfo minus port."""
+    hostport = F.substring_index(url_netloc(url), "@", -1)
+    return F.lower(F.regexp_replace(hostport, r":[0-9]*$", ""))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit numeric port or empty string."""
+    hostport = F.substring_index(url_netloc(url), "@", -1)
+    return F.regexp_extract(hostport, r":([0-9]+)$", 1)
+
+
+def url_path(url: Column) -> Column:
+    """path+params (everything before ``?``) of an absolute URL."""
+    return F.substring_index(url_rest(url), "?", 1)
+
+
+def canonicalize(url: Column) -> Column:
+    """Native canonical form, NULL when invalid.
+
+    Matches reference ``normalize_url`` (utils.py:109-144) for all URLs
+    without IPv6 literals or percent-encoded hosts; the pandas-UDF path
+    (:func:`canonicalize_udf`) covers the long tail and is cross-checked in
+    tests.  Ports that are present but non-numeric (``http://h:ab/``) are
+    invalid, exactly like ``urlparse(...).port`` raising ValueError.
+    """
+    s = defrag(F.trim(url))
+    scheme = url_scheme(s)
+    netloc = url_netloc(s)
+    hostport = F.substring_index(netloc, "@", -1)
+    host = url_host(s)
+    port = url_port(s)
+    rest = url_rest(s)
+
+    bad_port = (hostport.contains(":") & (port == F.lit(""))) | (
+        (port != F.lit("")) & (port.cast("long") > 65535)
+    )
+    valid = (
+        s.rlike(_URL_RE)
+        & (scheme != F.lit(""))
+        & (host != F.lit(""))
+        & ~bad_port
+        & ~host.contains("[")  # IPv6 literals -> UDF path only
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(port != F.lit(""), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        rest,
+    )
+    return F.when(valid, canon).otherwise(F.lit(None).cast("string"))
+
+
+def url_hash(canon_url: Column) -> Column:
+    """64-bit identity hash of a canonical URL (frontier join/bucket key)."""
+    return F.xxhash64(canon_url)
+
+
+def is_supported_scheme(canon_url: Column) -> Column:
+    """http/https only (reference utils.py:147-162)."""
+    return url_scheme(canon_url).isin("http", "https")
+
+
+# --------------------------------------------------------------------------
+# Scope predicates
+# --------------------------------------------------------------------------
+
+
+def in_scope_site(url: Column, base_url: str) -> Column:
+    """Reference single-site scope (utils.py:165-193).
+
+    Same scheme + same netloc + path-prefix with ``/`` boundary rules:
+    base path ``/docs`` matches ``/docs`` and ``/docs/x`` but NOT ``/docs1``;
+    a base path of ``/`` (or empty) matches everything on the host.
+    """
+    b = urlparse(base_url)
+    base_path = b.path or "/"
+    scheme_ok = url_scheme(url) == F.lit(b.scheme.lower())
+    netloc_ok = url_netloc(url) == F.lit(b.netloc)
+    cand_path = F.when(url_path(url) == F.lit(""), F.lit("/")).otherwise(url_path(url))
+    if base_path == "/":
+        path_ok = F.lit(True)
+    elif not base_path.endswith("/"):
+        path_ok = (cand_path == F.lit(base_path)) | cand_path.startswith(base_path + "/")
+    else:
+        path_ok = cand_path.startswith(base_path)
+    return scheme_ok & netloc_ok & path_ok
+
+
+def in_scope_domain(url: Column, domain_suffix: str) -> Column:
+    """Web-scale generalization: host equals the suffix or ends with .suffix.
+
+    The reference crawls a single site; a distributed frontier commonly
+    scopes to a registrable domain instead.  ``domain_suffix='example.com'``
+    admits ``example.com`` and ``a.example.com`` but not ``evilexample.com``.
+    """
+    h = url_host(url)
+    suffix = domain_suffix.lower()
+    return (h == F.lit(suffix)) | h.endswith("." + suffix)
+
+
+def _java_escape(literal: str) -> str:
+    """Escape a literal for Java regex (reference uses re.escape,
+    scraper.py:84-92); Java rejects escapes of word characters so only
+    metacharacters are escaped."""
+    return re.sub(r"([\\^$.|?*+()\[\]{}])", r"\\\1", literal)
+
+
+def include_exclude_filter(
+    url: Column,
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+) -> Column:
+    """P3/P4: URL must contain >=1 include substring and no exclude substring
+    (reference scraper.py:84-92, 309-312: escaped-literal alternation)."""
+    cond = F.lit(True)
+    if include_patterns:
+        alt = "|".join(_java_escape(p) for p in include_patterns)
+        cond = cond & url.rlike(alt)
+    if exclude_patterns:
+        alt = "|".join(_java_escape(p) for p in exclude_patterns)
+        cond = cond & ~url.rlike(alt)
+    return cond
+
+
+def is_valid_link(
+    canon_url: Column,
+    base_url: str | None = None,
+    domain_suffix: str | None = None,
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+) -> Column:
+    """P5: full link validator (reference scraper.py:287-314) over an
+    already-canonicalized URL column."""
+    cond = canon_url.isNotNull() & is_supported_scheme(canon_url)
+    if base_url:
+        cond = cond & in_scope_site(canon_url, base_url)
+    if domain_suffix:
+        cond = cond & in_scope_domain(canon_url, domain_suffix)
+    return cond & include_exclude_filter(canon_url, include_patterns, exclude_patterns)
+
+
+# --------------------------------------------------------------------------
+# Relative-reference resolution (native subset of urljoin)
+# --------------------------------------------------------------------------
+
+
+def url_dirname_expr(url: Column) -> Column:
+    """Directory of a URL: drop the last path segment, ensure trailing '/'
+    (reference utils.py:58-90). Query/params are dropped like urlunparse
+    with empty params/query."""
+    base = F.concat(url_scheme(url), F.lit("://"), url_netloc(url), url_path(url))
+    trimmed = F.regexp_replace(base, r"(://[^/]*(?:/[^/]*)*)/[^/]*$", "$1")
+    # When the path had no '/', trimmed == base; re-extract scheme://netloc + dir
+    dir_ = F.when(
+        url_path(url).contains("/"),
+        F.concat(
+            url_scheme(url),
+            F.lit("://"),
+            url_netloc(url),
+            F.regexp_replace(url_path(url), r"/[^/]*$", ""),
+        ),
+    ).otherwise(F.concat(url_scheme(url), F.lit("://"), url_netloc(url)))
+    return F.when(dir_.endswith("/"), dir_).otherwise(F.concat(dir_, F.lit("/")))
+
+
+def resolve_href(page_url: Column, href: Column) -> Column:
+    """Resolve an href against its page URL — native subset of urljoin
+    (reference scraper.py:203).
+
+    Handles: absolute URLs, protocol-relative ``//host/p``, root-relative
+    ``/p``, and plain relative ``p`` (resolved against the page directory).
+    Dot-segments (``../``) fall back to NULL here and are handled by the
+    pandas-UDF path; the engine routes hrefs containing ``../`` or ``./``
+    through :func:`resolve_links_udf`.
+    """
+    href_t = F.trim(href)
+    page_scheme = url_scheme(page_url)
+    origin = F.concat(page_scheme, F.lit("://"), url_netloc(page_url))
+    has_scheme = href_t.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    return (
+        F.when(href_t.rlike(r"\.\.?/"), F.lit(None).cast("string"))
+        .when(has_scheme, href_t)
+        .when(href_t.startswith("//"), F.concat(page_scheme, F.lit(":"), href_t))
+        .when(href_t.startswith("/"), F.concat(origin, href_t))
+        .when(href_t == F.lit(""), page_url)
+        .otherwise(F.concat(url_dirname_expr(page_url), href_t))
+    )
+
+
+# --------------------------------------------------------------------------
+# Filename / export-path mapping (native)
+# --------------------------------------------------------------------------
+
+
+def url_to_filename_expr(url: Column) -> Column:
+    """netloc+path with '/' and '.' -> '_', '_' runs collapsed, ends trimmed
+    (reference utils.py:30-55)."""
+    base = F.concat(url_netloc(url), url_path(url))
+    underscored = F.translate(base, "/.", "__")
+    collapsed = F.regexp_replace(underscored, "_+", "_")
+    return F.regexp_replace(collapsed, "^_|_$", "")
+
+
+def randomstring_to_filename_expr(s: Column) -> Column:
+    """Keep letters/digits/-_. ; space -> '_'; drop the rest
+    (reference utils.py:10-27; Python isalnum == unicode letters+digits)."""
+    spaced = F.regexp_replace(s, " ", "_")
+    return F.regexp_replace(spaced, r"[^\p{L}\p{N}\-_.]", "")
+
+
+def export_relpath_expr(url: Column, base_url: str | None = None) -> Column:
+    """Per-page export path (reference export_manager.py:281-290): strip the
+    base_url then the scheme; trailing '/' (or empty) -> 'index.md', else
+    append '.md'."""
+    u = url
+    if base_url:
+        u = F.replace(u, F.lit(base_url), F.lit(""))
+    u = F.regexp_replace(u, r"^https?://", "")
+    return F.when(
+        (u == F.lit("")) | u.endswith("/"), F.concat(u, F.lit("index.md"))
+    ).otherwise(F.concat(u, F.lit(".md")))
+
+
+# --------------------------------------------------------------------------
+# Pandas-UDF parity path (full urllib.parse semantics)
+# --------------------------------------------------------------------------
+
+
+def _normalize_one(url: str | None) -> str | None:
+    """Exact reference normalize_url (utils.py:109-144), None for invalid."""
+    if url is None or not isinstance(url, str):
+        return None
+    candidate = url.strip()
+    if not candidate:
+        return None
+    try:
+        parsed = urlparse(candidate)
+        if not parsed.scheme or not parsed.netloc:
+            return None
+        hostname = (parsed.hostname or "").lower()
+        if not hostname:
+            return None
+        netloc = hostname
+        if parsed.port is not None:  # raises ValueError on junk ports
+            netloc = f"{netloc}:{parsed.port}"
+        path = parsed.path or ""
+        return urlunparse((parsed.scheme.lower(), netloc, path, parsed.params, parsed.query, ""))
+    except ValueError:
+        return None
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-vectorized exact-urllib canonicalization (defrag + normalize)."""
+    return urls.map(lambda u: _normalize_one(u.split("#", 1)[0]) if isinstance(u, str) else None)
+
+
+@pandas_udf(StringType())
+def resolve_href_udf(page_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Arrow-vectorized full urljoin + defrag (reference scraper.py:203-204)."""
+
+    def _resolve(page: str, href: str) -> str | None:
+        if not isinstance(page, str) or not isinstance(href, str):
+            return None
+        return urljoin(page, href).split("#", 1)[0]
+
+    return pd.Series([_resolve(p, h) for p, h in zip(page_urls, hrefs)])

@@ -1,0 +1,12 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    from crawler_to_md_spark.session import get_spark
+
+    s = get_spark(app_name="cms-tests", master="local[4]", shuffle_partitions=8)
+    yield s
