@@ -1,0 +1,518 @@
+"""The crawl engine: frontier waves as snapshot-committed micro-batches.
+
+Reference lifecycle (scraper.py:364-598): a driver ``while True`` loop —
+dequeue <=200 unvisited, fetch each serially, parse once, classify failures,
+commit one SQLite transaction, insert discovered links, repeat until the
+frontier drains.  That loop *is* a micro-batch pipeline; here each wave is
+one declarative DataFrame plan ending in one atomic snapshot commit:
+
+    pending --(politeness window-rank)--> batch            [L1 + north-rule PQ]
+           --(left join corpus)--------> simulated fetch   [S3/J3]
+           --(when() cascade)----------> outcome/retry     [O5, scraper.py:496-549]
+           --(explode link spans)------> candidates        [F8/A4]
+           --(resolve+canonicalize+validate)               [F1/F2/P1-P5]
+           --(bloom prefilter + exact anti-join)           [J2, north-rule]
+           --(ordered seq)-------------> new frontier rows [L2 analog]
+           --(commit snapshot)---------> links/docs/metrics [O7]
+
+Semantics preserved from the reference (tests mirror tests/test_scraper.py):
+  * every dequeued URL is marked visited, even on failure (scraper.py:479)
+  * 404/403/non-HTML: visited, no page row, retry untouched (scraper.py:496-528)
+  * 5xx/429/connection-error/empty-content: retry_count+1 and a NULL-spans
+    doc row with failure metadata (scraper.py:505-549,561-579; metadata
+    shape scraper.py:166-183)
+  * empty-content pages still contribute out-links — the one-parse
+    architecture (scraper.py:551-558, IMPROVEMENTS.md:23-31)
+  * success resets retry_count to 0 (database_manager.py:355-371)
+  * resume requeues failed pages with retry_count < max_retries
+    (scraper.py:404-415, database_manager.py:294-317)
+
+Fetch is simulated by an equi-join against the synthetic corpus on ``url``
+(no network in the sandbox; a production deployment swaps the join for an
+HTTP ``mapInPandas`` stage with the reference's transport retry policy,
+scraper.py:98-111).  A corpus row with ``transient_failures_remaining > n``
+fails the n-th app-level attempt with 503 and succeeds after — exercising
+the retry/requeue path end-to-end.
+
+Ordering: the reference's intra-wave order is Python-set iteration order —
+nondeterministic across runs (scraper.py:589-592, SURVEY.md §2.6).  The
+engine defines the canonical order (depth, url) and verifies wave-partition
+plus seen-set equality, which is exactly what IS deterministic in the
+reference.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.functions import urlkit
+from crawler_to_md_spark.functions.bloom import BloomShards
+from crawler_to_md_spark.operators.politeness import (
+    global_cap,
+    politeness_cap,
+    robots_filter,
+)
+from crawler_to_md_spark.operators.seq import with_ordered_seq
+from crawler_to_md_spark.store.schemas import DOCS_SCHEMA, LINKS_SCHEMA, METRICS_SCHEMA
+from crawler_to_md_spark.store.warehouse import SnapshotStore
+
+RETRIABLE_STATUSES = (429, 500, 502, 503, 504)  # scraper.py:101-106 forcelist
+_DOT_SEGMENT = r"(^|/)\.\.?(/|$)"
+
+
+@dataclass
+class CrawlConfig:
+    """Engine knobs; defaults mirror the reference CLI (cli.py:92-165)."""
+
+    scope_base_url: str | None = None        # --url single-site scope (P2)
+    scope_domain: str | None = None          # registrable-domain scope (web-scale)
+    include_patterns: list[str] = field(default_factory=list)   # P3
+    exclude_patterns: list[str] = field(default_factory=list)   # P4
+    max_retries: int = 3                     # --max-retries (cli.py:160-165)
+    discover_links: bool = True              # False = static frontier (O9)
+    host_budget: int | None = None           # per-host URLs per wave (politeness)
+    global_budget: int | None = None         # per-wave cap (rate-limit analog, O3)
+    salt_shards: int = 8                     # politeness skew fan-out
+    max_waves: int = 200
+    use_bloom: bool = True
+    bloom_shards: int = 32
+    bloom_bits: int = 1 << 20                # per shard; power of 2
+    bloom_hashes: int = 7
+
+
+class CrawlEngine:
+    """Distributed BFS-with-dedup over a snapshot-committed frontier."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        corpus: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.store = SnapshotStore(spark, warehouse_dir)
+        self.robots = robots
+        self._corpus_path = os.path.join(warehouse_dir, "corpus")
+        if corpus is not None and not os.path.exists(self._corpus_path):
+            # materialize once: every wave's fetch join then scans stable
+            # parquet with pushdown instead of re-deriving the generator plan
+            corpus.write.mode("overwrite").parquet(self._corpus_path)
+
+    # ------------------------------------------------------------------
+    # corpus / bloom
+    # ------------------------------------------------------------------
+
+    @property
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self._corpus_path)
+
+    def _bloom_dir(self) -> str:
+        return os.path.join(self.store.dir, "bloom")
+
+    def _load_bloom(self) -> BloomShards | None:
+        if not self.config.use_bloom:
+            return None
+        version = self.store.lineage.get("bloom_version")
+        if version is None:
+            return None
+        return BloomShards.load(self._bloom_dir(), version)
+
+    def _new_bloom(self) -> BloomShards:
+        c = self.config
+        return BloomShards.empty(c.bloom_shards, c.bloom_bits, c.bloom_hashes)
+
+    # ------------------------------------------------------------------
+    # seeding (scraper.py:375-402 + utils.py:94-106 order-dedup)
+    # ------------------------------------------------------------------
+
+    def seed(self, urls: list[str]) -> int:
+        """Validate, canonicalize, order-dedup and commit the seed frontier
+        as snapshot 0.  Returns the number of accepted seeds."""
+        spark = self.spark
+        raw = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "seed_seq long, raw string"
+        )
+        canon = raw.withColumn("url", urlkit.canonicalize_udf(F.col("raw")))
+        valid = canon.filter(
+            urlkit.is_valid_link(
+                F.col("url"),
+                base_url=self.config.scope_base_url,
+                domain_suffix=self.config.scope_domain,
+                include_patterns=self.config.include_patterns,
+                exclude_patterns=self.config.exclude_patterns,
+            )
+        )
+        valid = robots_filter(
+            valid.withColumn("host", urlkit.url_host(F.col("url"))), self.robots
+        )
+        # order-preserving dedup: first occurrence wins (utils.py:94-106)
+        w = Window.partitionBy("url").orderBy("seed_seq")
+        deduped = (
+            valid.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        links = with_ordered_seq(
+            deduped.select(
+                "url",
+                urlkit.url_hash(F.col("url")).alias("url_hash"),
+                "host",
+                F.lit(False).alias("visited"),
+                F.lit(0).alias("retry_count"),
+                F.lit(0).alias("depth"),
+                F.lit(0).cast("long").alias("batch_id"),
+                "seed_seq",
+            ),
+            ["seed_seq"],
+        ).select(*LINKS_SCHEMA.fieldNames()).persist()
+
+        lineage: dict = {"runs": 0, "counters": {"seeds": links.count()}}
+        if self.config.use_bloom:
+            bloom = self._new_bloom()
+            bloom.add_dataframe(links)
+            bloom.save(self._bloom_dir())
+            lineage["bloom_version"] = bloom.version
+        empty_docs = spark.createDataFrame([], DOCS_SCHEMA)
+        empty_metrics = spark.createDataFrame([], METRICS_SCHEMA)
+        self.store.commit(
+            {"links": links, "docs": empty_docs, "metrics": empty_metrics},
+            batch_id=0,
+            lineage=lineage,
+        )
+        links.unpersist()
+        return lineage["counters"]["seeds"]
+
+    # ------------------------------------------------------------------
+    # reference DatabaseManager API analogs (tests/test_scraper.py DummyDB)
+    # ------------------------------------------------------------------
+
+    def links(self) -> DataFrame:
+        return self.store.read("links")
+
+    def docs(self) -> DataFrame:
+        return self.store.read("docs")
+
+    def metrics(self) -> DataFrame:
+        return self.store.read("metrics")
+
+    def total_link_count(self) -> int:        # A1, database_manager.py:227-237
+        return self.links().count()
+
+    def visited_count(self) -> int:           # A2, database_manager.py:239-251
+        return self.links().filter("visited").count()
+
+    def retriable_failed(self) -> DataFrame:  # J1, database_manager.py:294-317
+        failed = self.docs().filter(F.col("spans").isNull()).select("url")
+        links = self.links().filter(F.col("retry_count") < self.config.max_retries)
+        return failed.join(links, "url", "inner")
+
+    # ------------------------------------------------------------------
+    # one wave
+    # ------------------------------------------------------------------
+
+    def _wave(self, wave_id: int, run_id: int, bloom: BloomShards | None) -> int:
+        """Process one micro-batch; returns the number of URLs dequeued."""
+        cfg = self.config
+        links_all = self.store.read("links")
+        pending = links_all.filter(~F.col("visited")).withColumn(
+            "priority", F.col("depth")
+        )
+
+        if cfg.host_budget is not None:
+            batch = politeness_cap(pending, cfg.host_budget, cfg.salt_shards)
+        else:
+            batch = pending
+        batch = global_cap(batch, cfg.global_budget).drop("priority")
+
+        corpus_cols = self.corpus.select(
+            "url", "status_code", "content_type",
+            "transient_failures_remaining", "title", "spans",
+        )
+        fetched = batch.join(corpus_cols, "url", "left")
+
+        eff_status = (
+            F.when(F.col("status_code").isNull(), F.lit(None).cast("int"))
+            .when(
+                F.col("retry_count") < F.coalesce(
+                    F.col("transient_failures_remaining"), F.lit(0)
+                ),
+                F.lit(503),
+            )
+            .otherwise(F.col("status_code"))
+        )
+        is_html = F.coalesce(F.col("content_type"), F.lit("")).contains("text/html")
+        content_size = F.size(
+            F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("link"))
+        )
+        outcome = (
+            F.when(eff_status.isNull(), F.lit("conn_error"))
+            .when(eff_status.isin(*RETRIABLE_STATUSES), F.lit("http_retriable"))
+            .when(eff_status != 200, F.lit("http_skip"))      # 404/403: no retry
+            .when(~is_html, F.lit("nonhtml_skip"))
+            .when(content_size <= 0, F.lit("empty"))          # NoContentError
+            .otherwise(F.lit("ok"))
+        )
+        retriable = outcome.isin("conn_error", "http_retriable", "empty")
+        fetched = fetched.withColumns(
+            {
+                "eff_status": eff_status,
+                "outcome": outcome,
+                "parsed": (eff_status == 200) & is_html,      # ok + empty
+                "new_retry": F.when(outcome == "ok", F.lit(0))
+                .when(retriable, F.col("retry_count") + 1)
+                .otherwise(F.col("retry_count")),
+            }
+        ).persist()
+
+        stats = fetched.agg(
+            F.count(F.lit(1)).alias("dequeued"),
+            F.sum((F.col("outcome") == "ok").cast("long")).alias("fetched_ok"),
+            F.sum(
+                F.col("outcome").isin("conn_error", "http_retriable", "empty")
+                .cast("long")
+            ).alias("failed_retriable"),
+            F.sum(
+                F.col("outcome").isin("http_skip", "nonhtml_skip").cast("long")
+            ).alias("skipped"),
+        ).collect()[0]
+
+        # ---- docs rows (O5 failure taxonomy) --------------------------
+        err_type = (
+            F.when(F.col("outcome") == "conn_error", F.lit("RequestException"))
+            .when(F.col("outcome") == "http_retriable", F.lit("HTTPError"))
+            .otherwise(F.lit("NoContentError"))
+        )
+        err_msg = (
+            F.when(
+                F.col("outcome") == "http_retriable",
+                F.concat(F.lit("HTTP "), F.col("eff_status").cast("string")),
+            )
+            .when(F.col("outcome") == "conn_error", F.lit("connection failed"))
+            .otherwise(F.lit("no content extracted"))
+        )
+        docs_batch = fetched.filter(
+            (F.col("outcome") == "ok")
+            | F.col("outcome").isin("conn_error", "http_retriable", "empty")
+        ).select(
+            "url",
+            F.when(F.col("outcome") == "ok", F.col("spans")).alias("spans"),
+            F.when(
+                F.col("outcome") == "ok",
+                F.create_map(F.lit("title"), F.col("title")),
+            )
+            .otherwise(
+                F.create_map(
+                    F.lit("scrape_status"), F.lit("failed"),
+                    F.lit("error_type"), err_type,
+                    F.lit("error_message"), err_msg,
+                )
+            )
+            .alias("metadata"),
+            F.when(F.col("outcome") == "ok", F.lit("ok"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
+            F.lit(wave_id).cast("long").alias("batch_id"),
+        )
+        # upsert, last-write-wins (database_manager.py:103-123; Iceberg MERGE
+        # in production — anti-join + union is the parquet equivalent)
+        docs_new = (
+            self.store.read("docs")
+            .join(docs_batch.select("url"), "url", "left_anti")
+            .unionByName(docs_batch)
+        )
+
+        # ---- link discovery (one-parse: ok + empty pages) -------------
+        inserted = 0
+        discovered = 0
+        new_links = None
+        if cfg.discover_links:
+            cand_all, cand = self._discover(fetched, links_all, bloom)
+            discovered = cand_all.count()
+            new_links = with_ordered_seq(
+                cand.select(
+                    "url", "url_hash", "host",
+                    F.lit(False).alias("visited"),
+                    F.lit(0).alias("retry_count"),
+                    "depth",
+                    F.lit(wave_id).cast("long").alias("batch_id"),
+                ),
+                ["url"],
+            ).select(*LINKS_SCHEMA.fieldNames()).persist()
+            inserted = new_links.count()
+            cand_all.unpersist()
+
+        # ---- frontier state update (O2 + A5, one MERGE analog) --------
+        upd = fetched.select("url", F.col("new_retry").alias("__retry"))
+        links_new = (
+            links_all.join(upd, "url", "left")
+            .select(
+                "url", "url_hash", "host",
+                (F.col("visited") | F.col("__retry").isNotNull()).alias("visited"),
+                F.coalesce(F.col("__retry"), F.col("retry_count")).alias("retry_count"),
+                "depth", "batch_id", "seq",
+            )
+        )
+        if new_links is not None:
+            links_new = links_new.unionByName(new_links)
+
+        metrics_row = self.spark.createDataFrame(
+            [
+                (
+                    wave_id, run_id,
+                    int(stats["dequeued"] or 0), int(stats["fetched_ok"] or 0),
+                    int(stats["failed_retriable"] or 0), int(stats["skipped"] or 0),
+                    discovered, inserted,
+                )
+            ],
+            METRICS_SCHEMA,
+        )
+        metrics_new = self.store.read("metrics").unionByName(metrics_row)
+
+        lineage = dict(self.store.lineage)
+        counters = dict(lineage.get("counters", {}))
+        for k in ("dequeued", "fetched_ok", "failed_retriable", "skipped"):
+            counters[k] = counters.get(k, 0) + int(stats[k] or 0)
+        counters["links_inserted"] = counters.get("links_inserted", 0) + inserted
+        lineage["counters"] = counters
+        lineage["frontier_offset"] = wave_id
+        if bloom is not None and new_links is not None and inserted:
+            bloom.add_dataframe(new_links)
+            bloom.save(self._bloom_dir())
+        if bloom is not None:
+            lineage["bloom_version"] = bloom.version
+
+        self.store.commit(
+            {"links": links_new, "docs": docs_new, "metrics": metrics_new},
+            batch_id=wave_id,
+            lineage=lineage,
+        )
+        fetched.unpersist()
+        if new_links is not None:
+            new_links.unpersist()
+        return int(stats["dequeued"] or 0)
+
+    def _discover(
+        self, fetched: DataFrame, links_all: DataFrame, bloom: BloomShards | None
+    ) -> tuple[DataFrame, DataFrame]:
+        """Parsed pages -> (all validated+deduped candidates, unseen subset).
+
+        The first element is persisted (it feeds both the seen filter and
+        the per-wave discovered-count metric, A3/O10)."""
+        cfg = self.config
+        base = fetched.filter("parsed").select(
+            F.col("url").alias("page_url"),
+            F.col("depth").alias("parent_depth"),
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
+            ).alias("s"),
+        ).select(
+            "page_url", "parent_depth", F.col("s.media_ref").alias("href")
+        )
+        # dot-segment hrefs need full urljoin semantics -> vectorized UDF
+        # branch; everything else resolves natively under codegen
+        dotty = F.col("href").rlike(_DOT_SEGMENT)
+        resolved = base.filter(~dotty).withColumn(
+            "resolved", urlkit.resolve_href(F.col("page_url"), F.col("href"))
+        ).unionByName(
+            base.filter(dotty).withColumn(
+                "resolved", urlkit.resolve_href_udf(F.col("page_url"), F.col("href"))
+            )
+        )
+        canon = resolved.withColumn("url", urlkit.canonicalize(F.col("resolved")))
+        valid = canon.filter(
+            urlkit.is_valid_link(
+                F.col("url"),
+                base_url=cfg.scope_base_url,
+                domain_suffix=cfg.scope_domain,
+                include_patterns=cfg.include_patterns,
+                exclude_patterns=cfg.exclude_patterns,
+            )
+        )
+        valid = robots_filter(
+            valid.withColumn("host", urlkit.url_host(F.col("url"))), self.robots
+        )
+        # per-wave dedup (A4) + first-discovery depth = min parent depth + 1
+        cand = valid.groupBy("url", "host").agg(
+            (F.min("parent_depth") + 1).cast("int").alias("depth")
+        ).withColumn("url_hash", urlkit.url_hash(F.col("url"))).persist()
+
+        if bloom is not None:
+            maybe = bloom.might_contain_udf(self.spark)
+            flagged = cand.withColumn("__maybe", maybe(F.col("url_hash")))
+            sure_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+            suspects = (
+                flagged.filter(F.col("__maybe")).drop("__maybe")
+                .join(links_all.select("url_hash", "url"),
+                      ["url_hash", "url"], "left_anti")
+            )
+            return cand, sure_new.unionByName(suspects)
+        return cand, cand.join(
+            links_all.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        )
+
+    # ------------------------------------------------------------------
+    # runs
+    # ------------------------------------------------------------------
+
+    def _requeue(self, run_id: int) -> int:
+        """O6: failed pages with retry budget left become unvisited again."""
+        retriable = self.retriable_failed().select("url").persist()
+        n = retriable.count()
+        if n:
+            links_new = (
+                self.store.read("links")
+                .join(retriable.withColumn("__rq", F.lit(True)), "url", "left")
+                .withColumn(
+                    "visited", F.col("visited") & F.col("__rq").isNull()
+                )
+                .drop("__rq")
+            )
+            lineage = dict(self.store.lineage)
+            lineage["runs"] = run_id
+            self.store.commit(
+                {"links": links_new}, batch_id=self.store.batch_id + 1,
+                lineage=lineage,
+            )
+        retriable.unpersist()
+        return n
+
+    def run(self, resume: bool = False) -> dict:
+        """One crawl run: optional requeue, then waves until the frontier
+        drains (or max_waves).  Returns run summary counters."""
+        run_id = int(self.store.lineage.get("runs", 0)) + 1
+        requeued = self._requeue(run_id) if resume else 0
+        bloom = self._load_bloom()
+        waves = 0
+        dequeued_total = 0
+        while waves < self.config.max_waves:
+            pending = self.store.read("links").filter(~F.col("visited")).limit(1).count()
+            if pending == 0:
+                break
+            n = self._wave(self.store.batch_id + 1, run_id, bloom)
+            dequeued_total += n
+            waves += 1
+            if n == 0:
+                break
+        lineage = dict(self.store.lineage)
+        lineage["runs"] = run_id
+        self.store.commit({}, batch_id=self.store.batch_id, lineage=lineage)
+        return {"run_id": run_id, "waves": waves,
+                "dequeued": dequeued_total, "requeued": requeued}
+
+    def run_to_completion(self) -> list[dict]:
+        """Initial run + resume runs until no retriable failures remain —
+        the reference's 'invoke again to retry' loop, bounded by
+        max_retries."""
+        out = [self.run(resume=False)]
+        for _ in range(self.config.max_retries):
+            if self.retriable_failed().limit(1).count() == 0:
+                break
+            out.append(self.run(resume=True))
+        return out

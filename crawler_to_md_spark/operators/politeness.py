@@ -1,0 +1,90 @@
+"""Per-host politeness budgets and robots gating, skew-safe.
+
+The reference's politeness is *global*: a requests/min window plus a fixed
+inter-request delay on a single thread (scraper.py:428-475).  A distributed
+frontier needs the budget *per host* — and the corpus (like the real web) is
+Zipf-skewed: one hot host can own half the frontier, so a plain
+``row_number() OVER (PARTITION BY host)`` funnels half the data through one
+task.
+
+``politeness_cap`` keeps EXACT top-``budget``-per-host semantics with a
+bounded worst-case group via two phases (SURVEY.md §7 "hard parts"):
+
+  phase 1  window over (host, salt) — salt = url_hash mod S spreads a hot
+           host over S tasks; each salt shard keeps its own best ``budget``
+           rows.  Any row in the true per-host top-``budget`` is in its
+           shard's top-``budget``, so phase 1 never discards a winner.
+  phase 2  window over (host) on the survivors — at most S*budget rows per
+           host regardless of frontier skew — takes the true top ``budget``.
+
+Priority order is (priority, depth, url): lower priority first, then BFS
+depth, then canonical URL — the window-ranked micro-batch priority queue of
+the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.functions import urlkit
+
+PRIORITY_COLS = ["priority", "depth", "url"]
+
+
+def politeness_cap(
+    pending: DataFrame,
+    host_budget: int,
+    salt_shards: int = 8,
+    priority_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact per-host top-``budget`` dequeue with skew-bounded windows."""
+    order = [F.col(c) for c in (priority_cols or PRIORITY_COLS) if c in pending.columns]
+    salted = pending.withColumn(
+        "__salt", F.pmod(F.col("url_hash"), F.lit(salt_shards)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= host_budget)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= host_budget)
+        .drop("__r2", "__salt")
+    )
+
+
+def global_cap(batch: DataFrame, limit: int | None,
+               priority_cols: list[str] | None = None) -> DataFrame:
+    """Reference LIMIT-batched dequeue (database_manager.py:217-224) as a
+    TakeOrderedAndProject: cap the whole wave at ``limit`` URLs by priority.
+    Use for rate-limit-style global budgets; None = uncapped."""
+    if limit is None:
+        return batch
+    order = [F.col(c) for c in (priority_cols or PRIORITY_COLS) if c in batch.columns]
+    return batch.orderBy(*order).limit(limit)
+
+
+def robots_allowed(url: Column, disallow: Column) -> Column:
+    """True when no disallow prefix matches the URL path.  NULL disallow
+    (host absent from the rules table) = allowed, like a missing robots.txt."""
+    path = urlkit.url_path(url)
+    return F.when(
+        disallow.isNull(), F.lit(True)
+    ).otherwise(~F.exists(disallow, lambda p: path.startswith(p)))
+
+
+def robots_filter(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Gate a frontier batch on a per-host rules table
+    ``(host string, disallow array<string>)``.  The rules table is tiny
+    relative to the frontier (one row per host) — broadcast it so the gate
+    adds no shuffle."""
+    if robots is None:
+        return batch
+    joined = batch.join(
+        F.broadcast(robots.select("host", "disallow")), "host", "left"
+    )
+    return joined.filter(robots_allowed(F.col("url"), F.col("disallow"))).drop("disallow")

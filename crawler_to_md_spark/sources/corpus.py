@@ -240,10 +240,19 @@ def _corpus_from_docs(docs: DataFrame, replicas: int, p_total: int) -> DataFrame
 
     c1, c2, c3 = f"(3 * {g} + 1)", f"(3 * {g} + 2)", f"(3 * {g} + 3)"
     cross = f"((7 * {g} + 11) % {p_total})"
+    # the relative-href case (reference tests/test_scraper.py:77-83) is only
+    # correct when parent and child share a host — a relative link resolves
+    # against the page's own host (scraper.py:203 urljoin), so cross-host
+    # children must be absolute or the crawl would fetch a nonexistent URL
+    same_host = f"(({HOST_ID_SQL.format(g=c1)}) = ({HOST_ID_SQL.format(g=g)}))"
+    child1_href = (
+        f"CASE WHEN {same_host} THEN 'p' || CAST({c1} AS STRING) "
+        f"ELSE {child_url(c1)} END"
+    )
     link_spans = f"""
     CASE WHEN cls = 'transient' THEN {EMPTY_SPANS} ELSE concat(
       CASE WHEN {c1} < {p_total} THEN array(
-        {link("'child 1'", f"'p' || CAST({c1} AS STRING)")}) ELSE {EMPTY_SPANS} END,
+        {link("'child 1'", child1_href)}) ELSE {EMPTY_SPANS} END,
       CASE WHEN {c2} < {p_total} THEN array(
         {link("'child 2'", child_url(c2))}) ELSE {EMPTY_SPANS} END,
       CASE WHEN {c3} < {p_total} THEN array(

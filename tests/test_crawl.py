@@ -1,0 +1,207 @@
+"""Crawl-equivalence suite: the Spark engine's end state must match the
+reference's BFS-with-dedup semantics on the deterministic synthetic graph.
+
+Checks (SURVEY.md §2.6 "ordering semantics" + §5 "our strategy"):
+  * URL-seen set equality vs the independent Python golden model
+  * wave-partition (BFS depth) equality per URL
+  * retry_count end state per failure class (O5 taxonomy)
+  * docs status: ok pages have spans+title, failures have NULL spans and
+    failure metadata, 404/403/non-HTML have no row at all
+  * resume/requeue across runs (O6) including transient-success
+  * politeness budgets, static-frontier mode (O9), metrics (O10)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+from crawler_to_md_spark.sources import corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+M = 1  # 500 pages: BFS depth ~6, every failure class populated
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return corpus.synth_corpus(spark, SF_DIR, replicas=M)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return corpus.python_golden_crawl(500 * M)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_df, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("crawl") / "wh")
+    eng = CrawlEngine(
+        spark, wh, corpus=corpus_df,
+        config=CrawlConfig(scope_domain="example.com", max_retries=3),
+    )
+    assert eng.seed([corpus.seed_url()]) == 1
+    eng.run_to_completion()
+    return eng
+
+
+def _gid(url: str) -> int:
+    return int(url.rsplit("/docs/p", 1)[1])
+
+
+def test_seen_set_equality(engine, golden):
+    links = engine.links().collect()
+    got = {_gid(r["url"]) for r in links}
+    assert got == set(golden)
+
+
+def test_wave_partition_equality(engine, golden):
+    """First-discovery depth per URL == golden min BFS depth (the part of
+    reference visit order that IS deterministic, SURVEY.md §2.6)."""
+    got = {_gid(r["url"]): r["depth"] for r in engine.links().collect()}
+    assert got == {g: v["depth"] for g, v in golden.items()}
+
+
+def test_all_visited_and_retry_state(engine, golden):
+    links = {_gid(r["url"]): r for r in engine.links().collect()}
+    assert all(r["visited"] for r in links.values())
+    for g, want in golden.items():
+        assert links[g]["retry_count"] == want["retry_count"], (
+            g, want["cls"], links[g]["retry_count"])
+
+
+def test_docs_status_taxonomy(engine, golden):
+    docs = {_gid(r["url"]): r for r in engine.docs().collect()}
+    for g, want in golden.items():
+        if want["doc_status"] is None:
+            # 404/403/pdf: visited, no page row (scraper.py:496-528)
+            assert g not in docs, (g, want["cls"])
+        elif want["doc_status"] == "ok":
+            row = docs[g]
+            assert row["status"] == "ok"
+            assert row["spans"] is not None and len(row["spans"]) > 0
+            assert row["metadata"]["title"].startswith(f"Doc {g}:")
+        else:  # failed after retries exhausted
+            row = docs[g]
+            assert row["status"] == "failed"
+            assert row["spans"] is None
+            assert row["metadata"]["scrape_status"] == "failed"
+            assert row["metadata"]["error_type"] in (
+                "HTTPError", "RequestException", "NoContentError")
+
+
+def test_transient_pages_succeed_on_retry(engine, golden):
+    transients = [g for g, v in golden.items() if v["cls"] == "transient"]
+    assert transients, "fixture must exercise the transient path"
+    docs = {_gid(r["url"]): r for r in engine.docs().collect()}
+    links = {_gid(r["url"]): r for r in engine.links().collect()}
+    for g in transients:
+        assert docs[g]["status"] == "ok"
+        assert links[g]["retry_count"] == 0  # success resets (db:355-371)
+
+
+def test_empty_pages_still_contribute_links(engine, golden):
+    """One-parse architecture: an empty page fails (NULL spans) but its
+    out-links are discovered (scraper.py:551-558)."""
+    empties = [g for g, v in golden.items() if v["cls"] == "empty"]
+    assert empties
+    children = {c for g in empties for c in corpus.python_edges(g, 500 * M)}
+    got = {_gid(r["url"]) for r in engine.links().collect()}
+    assert children <= got
+
+
+def test_metrics_accounting(engine):
+    m = engine.metrics().orderBy("batch_id").collect()
+    assert len(m) >= 4  # >=4 BFS waves (FIXTURES.md)
+    total_dequeued = sum(r["dequeued"] for r in m)
+    # every link is dequeued once per attempt; at minimum once each
+    assert total_dequeued >= engine.total_link_count()
+    assert engine.visited_count() == engine.total_link_count()
+    # seeds + inserted covers the whole seen set exactly (A3 dedup count)
+    inserted = sum(r["links_inserted"] for r in m)
+    assert inserted + 1 == engine.total_link_count()
+
+
+def test_lineage_manifest(engine):
+    lin = engine.store.lineage
+    assert lin["bloom_version"] >= 1
+    assert lin["frontier_offset"] == engine.store.batch_id
+    assert lin["counters"]["links_inserted"] + 1 == engine.total_link_count()
+    assert lin["runs"] >= 2  # initial + at least one resume
+
+
+def test_resume_is_idempotent_when_complete(spark, engine):
+    """Running again on a drained frontier changes nothing."""
+    before = engine.links().count(), engine.docs().count()
+    engine.run(resume=True)
+    after = engine.links().count(), engine.docs().count()
+    assert before == after
+
+
+def test_bloom_consistency_vs_exact(spark, corpus_df, golden, tmp_path):
+    """Bloom prefilter must not change the crawl result (FP-safe design)."""
+    cfg = CrawlConfig(scope_domain="example.com", max_retries=3, use_bloom=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh2"), corpus=corpus_df, config=cfg)
+    eng.seed([corpus.seed_url()])
+    eng.run_to_completion()
+    assert {_gid(r["url"]) for r in eng.links().collect()} == set(golden)
+
+
+def test_politeness_budget_respected(spark, corpus_df, tmp_path):
+    cfg = CrawlConfig(scope_domain="example.com", host_budget=20, max_waves=3)
+    eng = CrawlEngine(spark, str(tmp_path / "wh3"), corpus=corpus_df, config=cfg)
+    eng.seed([corpus.seed_url()])
+    eng.run()
+    # no wave may process more than budget URLs per host (docs.batch_id is
+    # the wave a page was dequeued+fetched in)
+    per_wave_host = (
+        eng.docs().select("url", F.col("batch_id").alias("wave"))
+        .join(eng.links().select("url", "host"), "url")
+        .groupBy("host", "wave").agg(F.count("*").alias("n"))
+    )
+    assert per_wave_host.filter(F.col("n") > 20).count() == 0
+
+
+def test_static_frontier_mode(spark, corpus_df, tmp_path):
+    """O9: seeds-only crawl never expands the frontier."""
+    cfg = CrawlConfig(scope_domain="example.com", discover_links=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh4"), corpus=corpus_df, config=cfg)
+    seeds = [corpus.python_url(g) for g in (0, 1, 2)]
+    eng.seed(seeds)
+    eng.run()
+    assert eng.total_link_count() == 3
+    assert eng.visited_count() == 3
+
+
+def test_seed_validation_and_order_dedup(spark, corpus_df, tmp_path):
+    """Invalid seeds skipped, duplicates keep first occurrence, fragments
+    and case fold into the canonical form (scraper.py:375-402,
+    utils.py:94-106)."""
+    cfg = CrawlConfig(scope_domain="example.com", discover_links=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh5"), corpus=corpus_df, config=cfg)
+    u0 = corpus.python_url(0)
+    n = eng.seed([
+        "not a url",                       # invalid -> skipped
+        u0.upper().replace("/DOCS/P0", "/docs/p0"),  # case-folded host dup
+        u0 + "#frag",                      # fragment dup
+        u0,
+        "mailto:x@example.com",            # unsupported scheme
+        corpus.python_url(4),
+    ])
+    assert n == 2
+    rows = sorted(eng.links().collect(), key=lambda r: r["seq"])
+    assert [r["url"] for r in rows] == [u0, corpus.python_url(4)]
+
+
+def test_robots_gating(spark, corpus_df, tmp_path):
+    """Hosts with a disallow-all rule never enter the frontier."""
+    robots = spark.createDataFrame(
+        [("h1.example.com", ["/"])], "host string, disallow array<string>"
+    )
+    cfg = CrawlConfig(scope_domain="example.com", max_waves=30)
+    eng = CrawlEngine(spark, str(tmp_path / "wh6"), corpus=corpus_df,
+                      config=cfg, robots=robots)
+    eng.seed([corpus.seed_url()])
+    eng.run()
+    assert eng.links().filter(F.col("host") == "h1.example.com").count() == 0
+    assert eng.links().count() > 0
