@@ -1,0 +1,345 @@
+"""Fused one-parse HTML -> (title, interleaved spans, out_links) extraction.
+
+Mirrors the reference's extraction pipeline (scraper.py:217-285) as ONE
+vectorized pandas UDF — the "one-parse architecture" the reference enforces
+by test (scraper.py:551-558, IMPROVEMENTS.md:23-31, tests/test_scraper.py:
+436-488): a single DOM parse feeds both link extraction (F8,
+scraper.py:185-215) and content conversion (F7, scraper.py:217-285).
+Catalyst cannot fuse two separate UDF calls, so the fusion is ours (SURVEY.md
+§4 R1).
+
+Pipeline per document (reference order):
+  1. CSS include filter — keep only elements matching ``#id`` / ``.class`` /
+     ``tag`` selectors, re-rooted (P6, scraper.py:148-164,231-245)
+  2. CSS exclude filter — drop matching subtrees (P7, scraper.py:247-249)
+  3. always strip <script>/<style> (P8, scraper.py:251-254)
+  4. title from <title> (scraper.py:256)
+  5. body -> markdown-equivalent interleaved spans (markdownify-core
+     semantics, scraper.py:259-274): one span per markdown block, document
+     order —
+       h1..h6            -> heading{n}
+       p / li / blockquote-> paragraph (li gets the markdownify '*' bullet,
+                            blockquote the '>' prefix; inline <a>/<img>
+                            render as [text](href) / ![alt](src) inside the
+                            block text, exactly like markdownify inlines)
+       pre               -> code (verbatim text, no whitespace collapsing)
+       standalone <img>  -> image span (media_ref = src)
+       standalone <a>    -> link span (text, media_ref = href)
+  6. every <a href> (inline or not) also lands in ``out_links`` raw —
+     resolution/canonicalization/validation stay native Spark downstream
+     (operators/crawl.py), keeping this UDF pure per-document.
+
+Empty span list == the reference's blank-markdown NoContentError
+(scraper.py:276-278).  The sandbox has no bs4/markdownify, so the parser is
+stdlib ``html.parser`` (the reference's lxml choice is a perf knob, R2);
+whitespace in non-code blocks collapses like markdownify's.
+
+The markdown projection of these spans (functions/markdown.py
+``spans_to_markdown_expr``) reproduces the reference's normalized page
+markdown; span-sequence equality (kind, text, media_ref, order) is the
+per-row invariant (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawler_to_md_spark.store.schemas import SPANS_TYPE
+
+EXTRACT_TYPE = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("spans", SPANS_TYPE),
+        StructField("out_links", ArrayType(StringType())),
+    ]
+)
+
+_HEADINGS = {f"h{i}": i for i in range(1, 7)}
+_BLOCK_TAGS = set(_HEADINGS) | {"p", "li", "blockquote", "pre"}
+_VOID_TAGS = {"img", "br", "hr", "meta", "link", "input", "area", "base",
+              "col", "embed", "source", "track", "wbr"}
+_STRIP_TAGS = {"script", "style"}
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+# ---------------------------------------------------------------------------
+# simple CSS selectors (#id / .class / tag — the reference's supported set,
+# scraper.py:148-164)
+# ---------------------------------------------------------------------------
+
+
+def _selector_matches(sel: str, tag: str, attrs: dict[str, str]) -> bool:
+    if sel.startswith("#"):
+        return attrs.get("id") == sel[1:]
+    if sel.startswith("."):
+        return sel[1:] in (attrs.get("class") or "").split()
+    return tag == sel
+
+
+class _SpanParser(HTMLParser):
+    """Single-pass DOM-less extraction with include/exclude scoping."""
+
+    def __init__(self, include: list[str] | None, exclude: list[str] | None):
+        super().__init__(convert_charrefs=True)
+        self.include = include or []
+        self.exclude = exclude or []
+        self.spans: list[tuple[str, str | None, str | None]] = []
+        self.out_links: list[str] = []
+        self.title: str | None = None
+
+        self._in_title = False
+        self._strip_depth = 0       # inside script/style or excluded subtree
+        self._include_depth = 0     # inside an include-matched subtree
+        self._stack: list[tuple[str, bool]] = []  # (tag, is_include_root)
+        self._block: str | None = None   # current open block tag
+        self._buf: list[str] = []
+        self._pre = False
+        self._anchor_href: str | None = None
+        self._anchor_buf: list[str] | None = None
+        self._list_stack: list[tuple[str, int]] = []  # (kind, counter)
+
+    # -- helpers ---------------------------------------------------------
+
+    def _content_on(self) -> bool:
+        if self._strip_depth:
+            return False
+        return not self.include or self._include_depth > 0
+
+    def _flush_block(self) -> None:
+        if self._block is None:
+            return
+        kind = self._block
+        raw = "".join(self._buf)
+        if kind == "pre":
+            text = raw.strip("\n")
+            if text.strip():
+                self.spans.append(("code", text, None))
+        else:
+            text = _WS_RE.sub(" ", raw).strip()
+            if text:
+                if kind in _HEADINGS:
+                    self.spans.append((f"heading{_HEADINGS[kind]}", text, None))
+                else:
+                    self.spans.append(("paragraph", text, None))
+        self._block = None
+        self._buf = []
+        self._pre = False
+
+    # -- HTMLParser hooks ------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            self.handle_startendtag(tag, attrs)
+            return
+        a = dict(attrs)
+        if self._strip_depth:
+            self._strip_depth += 1
+            return
+        if tag in _STRIP_TAGS or any(
+            _selector_matches(s, tag, a) for s in self.exclude
+        ):
+            self._strip_depth = 1
+            return
+        is_include_root = bool(
+            self.include
+            and any(_selector_matches(s, tag, a) for s in self.include)
+        )
+        if is_include_root:
+            self._include_depth += 1
+        self._stack.append((tag, is_include_root))
+
+        if tag == "title":
+            self._in_title = True
+            return
+
+        if tag == "a":
+            href = a.get("href")
+            if href is not None and self._content_on():
+                self.out_links.append(href)
+            self._anchor_href = href
+            self._anchor_buf = []
+            return
+
+        if not self._content_on():
+            return
+
+        if tag in ("ul", "ol"):
+            self._list_stack.append((tag, 0))
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush_block()
+            if tag == "li" and self._list_stack:
+                kind, n = self._list_stack[-1]
+                self._list_stack[-1] = (kind, n + 1)
+                prefix = "* " if kind == "ul" else f"{n + 1}. "
+            elif tag == "li":
+                prefix = "* "
+            elif tag == "blockquote":
+                prefix = "> "
+            else:
+                prefix = ""
+            self._block = "p" if tag in ("li", "blockquote") else tag
+            self._buf = [prefix]
+            self._pre = tag == "pre"
+            if tag == "pre":
+                self._block = "pre"
+
+    def handle_startendtag(self, tag, attrs):
+        if self._strip_depth or not self._content_on():
+            return
+        a = dict(attrs)
+        if tag == "img":
+            src, alt = a.get("src"), a.get("alt", "")
+            if src is None:
+                return
+            if self._block is not None:
+                # inline image -> markdownify inline syntax in block text
+                self._buf.append(f"![{alt}]({src})")
+            else:
+                self.spans.append(("image", None, src))
+        elif tag == "br" and self._block is not None:
+            self._buf.append("\n" if self._pre else " ")
+
+    def handle_endtag(self, tag):
+        if self._strip_depth:
+            self._strip_depth -= 1
+            return
+        # lenient stack unwind (real HTML omits end tags): pop to the
+        # nearest matching open element, releasing include roots on the way
+        if any(t == tag for t, _ in self._stack):
+            while self._stack:
+                t, inc_root = self._stack.pop()
+                if inc_root:
+                    self._include_depth -= 1
+                if t == tag:
+                    break
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag == "a":
+            text = _WS_RE.sub(" ", "".join(self._anchor_buf or [])).strip()
+            href = self._anchor_href
+            self._anchor_buf = None
+            self._anchor_href = None
+            if href is None:
+                if self._block is not None and text:
+                    self._buf.append(text)
+                return
+            if self._block is not None:
+                self._buf.append(f"[{text}]({href})")   # markdownify inline
+            else:
+                self.spans.append(("link", text, href))  # standalone anchor
+            return
+        if not self._content_on():
+            return
+        if tag in ("ul", "ol") and self._list_stack:
+            self._list_stack.pop()
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush_block()
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title = (self.title or "") + data
+            return
+        if not self._content_on():
+            return
+        if self._anchor_buf is not None:
+            self._anchor_buf.append(data)
+            return
+        if self._block is not None:
+            self._buf.append(data)
+
+    def close(self):
+        super().close()
+        self._flush_block()
+        if self.title is not None:
+            self.title = _WS_RE.sub(" ", self.title).strip()
+
+
+def extract_document(
+    html: str | None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> tuple[str | None, list[tuple], list[str]]:
+    """Parse once; return (title, spans-with-offsets, raw out_links)."""
+    if html is None:
+        return None, [], []
+    p = _SpanParser(include, exclude)
+    try:
+        p.feed(unescape_entities_safe(html))
+        p.close()
+    except Exception:
+        return p.title, [], []
+    spans = [
+        {"kind": k, "text": t, "media_ref": r, "offset": i}
+        for i, (k, t, r) in enumerate(p.spans)
+    ]
+    return p.title, spans, p.out_links
+
+
+def unescape_entities_safe(html: str) -> str:
+    # html.parser with convert_charrefs handles entities in data; feeding
+    # raw html is correct — this hook exists for symmetry/testing only.
+    return html
+
+
+def make_extract_udf(include: list[str] | None = None,
+                     exclude: list[str] | None = None):
+    """Build the fused extraction pandas UDF with bound CSS filters.
+
+    Returns an Arrow-batched UDF ``html:string -> struct<title, spans,
+    out_links>`` — one parse per document serving both consumers (R1).
+    """
+
+    @pandas_udf(EXTRACT_TYPE)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        titles, spans, links = [], [], []
+        for doc in html:
+            t, s, l = extract_document(doc, include, exclude)
+            titles.append(t)
+            spans.append(s)
+            links.append(l)
+        return pd.DataFrame({"title": titles, "spans": spans, "out_links": links})
+
+    return extract
+
+
+# ---------------------------------------------------------------------------
+# span -> HTML renderer (fixture generator for round-trip parity tests)
+# ---------------------------------------------------------------------------
+
+
+def spans_to_html(title: str | None, spans: list[dict]) -> str:
+    """Render a span sequence to simple HTML whose extraction reproduces it
+    exactly — used to generate deterministic parity fixtures."""
+    parts = ["<html><head>"]
+    if title is not None:
+        parts.append(f"<title>{title}</title>")
+    parts.append("</head><body>")
+    for s in spans:
+        kind, text, ref = s["kind"], s.get("text"), s.get("media_ref")
+        if kind.startswith("heading"):
+            n = int(kind[7:])
+            parts.append(f"<h{n}>{text}</h{n}>")
+        elif kind == "paragraph":
+            parts.append(f"<p>{text}</p>")
+        elif kind == "code":
+            parts.append(f"<pre>{text}</pre>")
+        elif kind == "image":
+            parts.append(f'<img src="{ref}"/>')
+        elif kind == "link":
+            parts.append(f'<a href="{ref}">{text or ""}</a>')
+    parts.append("</body></html>")
+    return "".join(parts)

@@ -84,10 +84,13 @@ CONTENT_TYPE_SQL = (
     "THEN 'application/pdf' ELSE 'text/html; charset=utf-8' END"
 )
 
-TITLE_SQL = "'Doc ' || CAST({g} AS STRING) || ': ' || substr({text}, 1, 24)"
+TITLE_SQL = "'Doc ' || CAST({g} AS STRING) || ': ' || trim(substr({text}, 1, 24))"
 
-# paragraph spans per page: j in 0 .. g % 3, paragraph j = substr(text, 1+j*37, 60)
-PARA_SQL = "substr({text}, 1 + ({j}) * 37, 60)"
+# paragraph spans per page: j in 0 .. g % 3, paragraph j = substr(text, 1+j*37, 60).
+# trimmed so spans are whitespace-normal (extraction collapses whitespace the
+# way markdownify does, so canonical spans must carry none at the edges);
+# short documents can yield empty substrings -> filtered out of the span list
+PARA_SQL = "trim(substr({text}, 1 + ({j}) * 37, 60))"
 
 HAS_IMAGE_SQL = "(({g}) % 2 = 0)"
 IMAGE_REF_SQL = "'https://' || " + HOST_SQL + " || '/img/' || CAST({g} AS STRING) || '.png'"
@@ -219,7 +222,7 @@ def _corpus_from_docs(docs: DataFrame, replicas: int, p_total: int) -> DataFrame
     content_spans = f"""
     CASE WHEN cls = 'empty' THEN {EMPTY_SPANS} ELSE concat(
       array({heading}),
-      transform(sequence(0, {g} % 3), j -> {para}),
+      filter(transform(sequence(0, {g} % 3), j -> {para}), s -> s.text <> ''),
       CASE WHEN {HAS_IMAGE_SQL.format(g=g)} THEN array({image}) ELSE {EMPTY_SPANS} END,
       CASE WHEN {HAS_CODE_SQL.format(g=g)} THEN array({code}) ELSE {EMPTY_SPANS} END
     ) END

@@ -1,0 +1,135 @@
+"""Export parity tests (reference tests/test_export_manager.py shapes)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from crawler_to_md_spark.exports import (
+    export_compiled_json,
+    export_compiled_markdown,
+    export_individual_markdown,
+)
+from crawler_to_md_spark.functions.markdown import minify_markdown_str
+from crawler_to_md_spark.store.schemas import DOCS_SCHEMA, LINKS_SCHEMA
+
+
+def _spans(*blocks):
+    out = []
+    for i, (kind, text, ref) in enumerate(blocks):
+        out.append({"kind": kind, "text": text, "media_ref": ref, "offset": i})
+    return out
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    docs_rows = [
+        ("https://h/docs/a", _spans(("heading1", "Page A", None),
+                                    ("paragraph", "alpha body", None)),
+         {"title": "A"}, "ok", 1),
+        ("https://h/docs/b/", _spans(("heading2", "Page B", None),
+                                     ("code", "x = 1", None),
+                                     ("image", None, "https://h/i.png")),
+         {"title": "B", "junk": None}, "ok", 1),
+        ("https://h/docs/c", None,
+         {"scrape_status": "failed", "error_type": "HTTPError",
+          "error_message": "HTTP 500"}, "failed", 2),
+    ]
+    docs = spark.createDataFrame(
+        [tuple(r) for r in docs_rows], DOCS_SCHEMA
+    )
+    links_rows = [
+        ("https://h/docs/a", 1, "h", True, 0, 0, 0, 0),
+        ("https://h/docs/b/", 2, "h", True, 0, 1, 1, 0),
+        ("https://h/docs/c", 3, "h", True, 3, 1, 1, 1),
+    ]
+    links = spark.createDataFrame(links_rows, LINKS_SCHEMA)
+    return docs, links
+
+
+def test_compiled_markdown_structure(tables):
+    docs, links = tables
+    out = export_compiled_markdown(docs, links, title="My Crawl")
+    assert out.startswith("# My Crawl\n")
+    # headers shifted one level (F10): h1 -> ##, h2 -> ###
+    assert "\n## Page A\n" in out
+    assert "\n### Page B\n" in out
+    # URL metadata comment blocks (export_manager.py:193-198)
+    assert "<!--\nURL: https://h/docs/a\ntitle: A\n-->" in out
+    # NULL-valued metadata keys dropped (P11)
+    assert "junk" not in out
+    # failed page skipped entirely (P10)
+    assert "https://h/docs/c" not in out
+    # page separator
+    assert "\n---" in out
+    # A precedes B (discovery order batch_id, seq)
+    assert out.index("Page A") < out.index("Page B")
+    # cleanup: no triple newlines anywhere (F11)
+    assert "\n\n\n" not in out
+
+
+def test_compiled_markdown_minify(tables):
+    docs, links = tables
+    out = export_compiled_markdown(docs, links, title="T", minify=True)
+    assert "<!--" not in out            # comments stripped
+    assert "\n\n" not in out            # no blank lines outside fences
+    assert minify_markdown_str(out) == out  # idempotent
+    assert "x = 1" in out               # fenced code preserved
+
+
+def test_compiled_json_pretty_and_compact(tables):
+    docs, links = tables
+    pretty = export_compiled_json(docs, links, minify=False)
+    compact = export_compiled_json(docs, links, minify=True)
+    assert json.loads(pretty) == json.loads(compact)
+    data = json.loads(pretty)
+    assert [d["url"] for d in data] == ["https://h/docs/a", "https://h/docs/b/"]
+    assert data[0]["metadata"] == {"title": "A"}
+    assert data[1]["metadata"] == {"title": "B"}  # null value dropped
+    assert "alpha body" in data[0]["content"]
+    assert pretty.startswith("[\n    {")          # indent=4
+    assert "\n" not in compact
+    assert '","' in compact or '":"' in compact   # compact separators
+
+
+def test_individual_export_paths(tables, tmp_path):
+    docs, links = tables
+    root = export_individual_markdown(docs, links, str(tmp_path))
+    assert root == str(tmp_path / "files")
+    assert os.path.isfile(tmp_path / "files" / "h" / "docs" / "a.md")
+    # trailing slash -> index.md (export_manager.py:287-290)
+    assert os.path.isfile(tmp_path / "files" / "h" / "docs" / "b" / "index.md")
+    # failed page not exported
+    assert not os.path.exists(tmp_path / "files" / "h" / "docs" / "c.md")
+    content = (tmp_path / "files" / "h" / "docs" / "a.md").read_text()
+    assert "# Page A" in content and "alpha body" in content
+
+
+def test_individual_export_base_url_strip(tables, tmp_path):
+    docs, links = tables
+    export_individual_markdown(
+        docs, links, str(tmp_path), base_url="https://h/docs/"
+    )
+    assert os.path.isfile(tmp_path / "files" / "a.md")
+
+
+def test_end_to_end_crawl_export(spark, tmp_path):
+    """Crawl a small corpus and export everything — the full §3.2 lifecycle."""
+    from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+    from crawler_to_md_spark.sources import corpus
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"),
+        corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001", replicas=1),
+        config=CrawlConfig(scope_domain="example.com", max_retries=1),
+    )
+    eng.seed([corpus.seed_url()])
+    eng.run()
+    md = export_compiled_markdown(eng.docs(), eng.links(), title="Corpus")
+    assert md.startswith("# Corpus\n")
+    assert md.count("URL: https://") > 100
+    data = json.loads(export_compiled_json(eng.docs(), eng.links()))
+    ok_count = eng.docs().filter("status = 'ok'").count()
+    assert len(data) == ok_count
