@@ -1,38 +1,416 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl at sf0.001 and returns the final
+frontier state.  ``queries()`` exposes the engine's operators over the
+driver testdata; ``oracle_sql()`` gives the DuckDB-equivalent SQL on the
+same parquet views (``documents`` etc.).  Both sides derive the synthetic
+web corpus from ``documents.parquet`` through the SAME SQL fragments
+(crawler_to_md_spark/sources/corpus.py), so every check is an independent
+re-derivation, not a self-comparison: Spark runs the actual crawl engine
+(frontier waves, bloom anti-join, retry taxonomy), DuckDB recomputes the
+expected end state with a recursive CTE.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.functions import urlkit
+from crawler_to_md_spark.functions.markdown import spans_to_markdown_expr
+from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+from crawler_to_md_spark.sources import corpus
+
+M = 2            # corpus replicas per document row (pages = 2 x docs)
+MAX_RETRIES = 3
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE prologues
+# ---------------------------------------------------------------------------
+
+
+def _meta_cte() -> str:
+    return f"WITH {corpus.edges_sql_duck(M)}"
+
+
+def _reach_cte() -> str:
+    return f"WITH RECURSIVE {corpus.reach_sql_duck(M)}"
+
+
+# class -> end-state rules (reference O5 taxonomy; corpus.python_golden_crawl)
+_RETRY_CASE = (
+    "CASE WHEN cls IN ('http500','http429','empty','missing') "
+    f"THEN {MAX_RETRIES} ELSE 0 END"
+)
+_STATUS_CASE = (
+    "CASE WHEN cls IN ('ok','transient') THEN 'ok' "
+    "WHEN cls IN ('http500','http429','empty','missing') THEN 'failed' "
+    "ELSE NULL END"
+)
+# dequeue attempts per class: ok/skip 1, transient 2 (fail+success);
+# permanent-retriable URLs are attempted until retry_count hits the cap —
+# each failure increments, requeue requires retry < max, so exactly
+# MAX_RETRIES attempts total
+_ATTEMPTS_CASE = (
+    "CASE WHEN cls = 'transient' THEN 2 "
+    f"WHEN cls IN ('http500','http429','empty','missing') THEN {MAX_RETRIES} "
+    "ELSE 1 END"
+)
+
+
+# ---------------------------------------------------------------------------
+# crawl memoization (several queries share one completed crawl per sf_dir)
+# ---------------------------------------------------------------------------
+
+_ENGINES: dict[str, CrawlEngine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> CrawlEngine:
+    eng = _ENGINES.get(sf_dir)
+    if eng is None:
+        wh = tempfile.mkdtemp(prefix="entry_wh_")
+        eng = CrawlEngine(
+            spark, wh,
+            corpus=corpus.synth_corpus(spark, sf_dir, replicas=M),
+            config=CrawlConfig(scope_domain="example.com",
+                               max_retries=MAX_RETRIES),
+        )
+        eng.seed([corpus.seed_url()])
+        eng.run_to_completion()
+        _ENGINES[sf_dir] = eng
+    return eng
+
+
+def _corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.synth_corpus(spark, sf_dir, replicas=M)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full crawl of the sf0.001 corpus; final frontier state."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.links().select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        F.col("retry_count").cast("long").alias("retry_count"), "visited",
+    )
+
+
+def _q_corpus_class_histogram(spark, sf_dir):
+    return (
+        _corpus_df(spark, sf_dir)
+        .groupBy("cls").agg(F.count("*").cast("long").alias("n_pages"))
+    )
+
+
+def _q_corpus_host_pages(spark, sf_dir):
+    return (
+        _corpus_df(spark, sf_dir)
+        .groupBy("host").agg(F.count("*").cast("long").alias("n_pages"))
+    )
+
+
+def _q_corpus_edges(spark, sf_dir):
+    """Link scheduling primitives (F2+F1+P1/P2): resolve every link span,
+    canonicalize, scope-filter, dedup — the exact per-wave candidate
+    derivation, corpus-wide."""
+    df = _corpus_df(spark, sf_dir)
+    return (
+        df.filter(F.col("cls").isin(*corpus.PARSED_CLASSES))
+        .select(
+            F.col("url").alias("src_url"),
+            F.explode(F.filter(F.col("spans"),
+                               lambda s: s["kind"] == F.lit("link"))).alias("s"),
+        )
+        .select(
+            "src_url",
+            urlkit.canonicalize(
+                urlkit.resolve_href(F.col("src_url"), F.col("s.media_ref"))
+            ).alias("dst_url"),
+        )
+        .filter(
+            F.col("dst_url").isNotNull()
+            & urlkit.is_supported_scheme(F.col("dst_url"))
+            & urlkit.in_scope_domain(F.col("dst_url"), "example.com")
+        )
+        .distinct()
+    )
+
+
+def _q_crawl_seen_set(spark, sf_dir):
+    return _engine(spark, sf_dir).links().select(
+        "url", F.col("depth").cast("long").alias("depth"))
+
+
+def _q_crawl_wave_sizes(spark, sf_dir):
+    return (
+        _engine(spark, sf_dir).links()
+        .groupBy(F.col("depth").cast("long").alias("depth"))
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+
+
+def _q_crawl_retry_state(spark, sf_dir):
+    return _engine(spark, sf_dir).links().select(
+        "url", F.col("retry_count").cast("long").alias("retry_count"))
+
+
+def _q_crawl_docs_status(spark, sf_dir):
+    return _engine(spark, sf_dir).docs().select("url", "status")
+
+
+def _q_crawl_visited_counts(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.links().agg(
+        F.count("*").cast("long").alias("total_links"),
+        F.sum(F.col("visited").cast("long")).cast("long").alias("visited_links"),
+    )
+
+
+def _q_crawl_metrics_totals(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.metrics().agg(
+        F.sum("dequeued").cast("long").alias("total_dequeued"),
+        F.sum("fetched_ok").cast("long").alias("total_fetched_ok"),
+        F.sum("failed_retriable").cast("long").alias("total_failed"),
+        F.sum("skipped").cast("long").alias("total_skipped"),
+    )
+
+
+def _q_page_markdown(spark, sf_dir):
+    """Span->markdown serializer over every successfully crawled page."""
+    return (
+        _engine(spark, sf_dir).docs().filter("status = 'ok'")
+        .select("url", F.expr(spans_to_markdown_expr("spans")).alias("markdown"))
+    )
+
+
+def _q_page_titles(spark, sf_dir):
+    return (
+        _engine(spark, sf_dir).docs().filter("status = 'ok'")
+        .select("url", F.col("metadata")["title"].alias("title"))
+    )
+
+
+def _q_url_filenames(spark, sf_dir):
+    return _corpus_df(spark, sf_dir).select(
+        "url", urlkit.url_to_filename_expr(F.col("url")).alias("filename"))
+
+
+def _q_export_relpaths(spark, sf_dir):
+    return _corpus_df(spark, sf_dir).select(
+        "url", urlkit.export_relpath_expr(F.col("url")).alias("relpath"))
+
+
+def _q_seed_dedup(spark, sf_dir):
+    """Order-preserving dedup (L2/utils.py:94-106) over a synthesized seed
+    list with case/fragment/dup noise derived from the corpus urls."""
+    seeds = _seed_list_df(spark, sf_dir)
+    from pyspark.sql import Window
+
+    canon = seeds.withColumn("url", urlkit.canonicalize(F.col("raw"))).filter(
+        F.col("url").isNotNull()
+    )
+    w = Window.partitionBy("url").orderBy("seed_seq")
+    return (
+        canon.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(F.col("seed_seq").cast("long").alias("first_seq"), "url")
+    )
+
+
+def _seed_list_df(spark, sf_dir):
+    # 3 variants per page id g in [0, 60): canonical, uppercased+fragment,
+    # canonical dup — seed_seq = 3g / 3g+1 / 3g+2
+    base = _corpus_df(spark, sf_dir).filter("page_id < 60")
+    return base.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("page_id") * 3).alias("seed_seq"),
+                         F.col("url").alias("raw")),
+                F.struct((F.col("page_id") * 3 + 1).alias("seed_seq"),
+                         F.concat(F.upper("url"), F.lit("#X")).alias("raw")),
+                F.struct((F.col("page_id") * 3 + 2).alias("seed_seq"),
+                         F.col("url").alias("raw")),
+            )
+        ).alias("s")
+    ).select("s.seed_seq", "s.raw")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "corpus_class_histogram": _q_corpus_class_histogram,
+        "corpus_host_pages": _q_corpus_host_pages,
+        "corpus_edges": _q_corpus_edges,
+        "crawl_seen_set": _q_crawl_seen_set,
+        "crawl_wave_sizes": _q_crawl_wave_sizes,
+        "crawl_retry_state": _q_crawl_retry_state,
+        "crawl_docs_status": _q_crawl_docs_status,
+        "crawl_visited_counts": _q_crawl_visited_counts,
+        "crawl_metrics_totals": _q_crawl_metrics_totals,
+        "page_markdown": _q_page_markdown,
+        "page_titles": _q_page_titles,
+        "url_filenames": _q_url_filenames,
+        "export_relpaths": _q_export_relpaths,
+        "seed_dedup": _q_seed_dedup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same fragments, independent recomputation)
+# ---------------------------------------------------------------------------
+
+
+def _sql_url(g: str) -> str:
+    return corpus.URL_SQL.format(g=g)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = "m.g"
+    # markdown reconstruction mirrors spans_to_markdown_expr block by block
+    paras = (
+        "list_filter(list_transform(range(0, (m.g % 3) + 1), "
+        "j -> trim(substr(m.text, 1 + j * 37, 60))), s -> s <> '')"
+    )
+    heading = "'# Doc ' || CAST(m.g AS STRING)"
+    image = (
+        f"CASE WHEN {corpus.HAS_IMAGE_SQL.format(g=g)} "
+        f"THEN ['![](' || {corpus.IMAGE_REF_SQL.format(g=g)} || ')'] "
+        "ELSE [] END"
+    )
+    code = (
+        f"CASE WHEN {corpus.HAS_CODE_SQL.format(g=g)} "
+        f"THEN ['```' || chr(10) || {corpus.CODE_SQL.format(g=g)} || chr(10) || '```'] "
+        "ELSE [] END"
+    )
+    markdown = (
+        f"array_to_string(list_concat(list_concat(list_concat([{heading}], "
+        f"{paras}), {image}), {code}), chr(10) || chr(10))"
+    )
+
+    return {
+        "corpus_class_histogram": f"""
+            {_meta_cte()}
+            SELECT cls, CAST(count(*) AS BIGINT) AS n_pages
+            FROM corpus_meta WHERE cls <> 'missing' GROUP BY cls
+        """,
+        "corpus_host_pages": f"""
+            {_meta_cte()}
+            SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+            FROM corpus_meta WHERE cls <> 'missing' GROUP BY host
+        """,
+        "corpus_edges": f"""
+            {_meta_cte()}
+            SELECT s.url AS src_url, {_sql_url('e.dst')} AS dst_url
+            FROM corpus_edges e JOIN corpus_meta s ON s.g = e.src
+        """,
+        "crawl_seen_set": f"""
+            {_reach_cte()}
+            SELECT {_sql_url('r.g')} AS url, CAST(r.depth AS BIGINT) AS depth
+            FROM corpus_reach r
+        """,
+        "crawl_wave_sizes": f"""
+            {_reach_cte()}
+            SELECT CAST(depth AS BIGINT) AS depth,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM corpus_reach GROUP BY depth
+        """,
+        "crawl_retry_state": f"""
+            {_reach_cte()}
+            SELECT {_sql_url('m.g')} AS url,
+                   CAST({_RETRY_CASE} AS BIGINT) AS retry_count
+            FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+        """,
+        "crawl_docs_status": f"""
+            {_reach_cte()}
+            SELECT {_sql_url('m.g')} AS url, {_STATUS_CASE} AS status
+            FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+            WHERE {_STATUS_CASE} IS NOT NULL
+        """,
+        "crawl_visited_counts": f"""
+            {_reach_cte()}
+            SELECT CAST(count(*) AS BIGINT) AS total_links,
+                   CAST(count(*) AS BIGINT) AS visited_links
+            FROM corpus_reach
+        """,
+        "crawl_metrics_totals": f"""
+            {_reach_cte()}
+            SELECT CAST(sum({_ATTEMPTS_CASE}) AS BIGINT) AS total_dequeued,
+                   CAST(sum(CASE WHEN cls IN ('ok','transient') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS total_fetched_ok,
+                   CAST(sum(CASE WHEN cls = 'transient' THEN 1
+                            WHEN cls IN ('http500','http429','empty','missing')
+                            THEN {MAX_RETRIES} ELSE 0 END) AS BIGINT)
+                        AS total_failed,
+                   CAST(sum(CASE WHEN cls IN ('http404','http403','pdf')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS total_skipped
+            FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+        """,
+        "page_markdown": f"""
+            {_reach_cte()}
+            SELECT m.url AS url, {markdown} AS markdown
+            FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+            WHERE m.cls IN ('ok', 'transient')
+        """,
+        "page_titles": f"""
+            {_reach_cte()}
+            SELECT m.url AS url,
+                   {corpus.TITLE_SQL.format(g='m.g', text='m.text')} AS title
+            FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+            WHERE m.cls IN ('ok', 'transient')
+        """,
+        "url_filenames": f"""
+            {_meta_cte()}
+            SELECT url,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(url, '^[a-z]+://', ''),
+                       '[/.]', '_', 'g'), '_+', '_', 'g'), '^_|_$', '', 'g')
+                   AS filename
+            FROM corpus_meta WHERE cls <> 'missing'
+        """,
+        "export_relpaths": f"""
+            {_meta_cte()}
+            SELECT url,
+                   CASE WHEN regexp_replace(url, '^https?://', '') = ''
+                             OR regexp_replace(url, '^https?://', '') LIKE '%/'
+                        THEN regexp_replace(url, '^https?://', '') || 'index.md'
+                        ELSE regexp_replace(url, '^https?://', '') || '.md' END
+                   AS relpath
+            FROM corpus_meta WHERE cls <> 'missing'
+        """,
+        "seed_dedup": f"""
+            {_meta_cte()},
+            seed_variants AS (
+                SELECT m.g * 3 AS seed_seq, m.url AS raw FROM corpus_meta m
+                WHERE m.g < 60 AND m.cls <> 'missing'
+                UNION ALL
+                SELECT m.g * 3 + 1, upper(m.url) || '#X' FROM corpus_meta m
+                WHERE m.g < 60 AND m.cls <> 'missing'
+                UNION ALL
+                SELECT m.g * 3 + 2, m.url FROM corpus_meta m
+                WHERE m.g < 60 AND m.cls <> 'missing'
+            ),
+            canon AS (
+                -- canonicalize: defrag + lowercase scheme/host (urls here
+                -- have no port/userinfo so lowercasing the whole authority
+                -- and scheme is exact)
+                SELECT seed_seq,
+                       lower(split_part(split_part(raw, '#', 1), '://', 1))
+                       || '://'
+                       || lower(split_part(split_part(split_part(raw, '#', 1),
+                                '://', 2), '/', 1))
+                       || regexp_extract(split_part(raw, '#', 1),
+                                         '^[^:]+://[^/]+(/.*)?$', 1)
+                       AS url
+                FROM seed_variants
+            )
+            SELECT CAST(min(seed_seq) AS BIGINT) AS first_seq, url
+            FROM canon GROUP BY url
+        """,
+    }

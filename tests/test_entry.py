@@ -1,0 +1,69 @@
+"""Driver-contract harness test: every queries() entry must match its
+DuckDB oracle_sql() on row count, column names, and sorted values —
+the same comparison the grading driver performs at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        except duckdb.Error:
+            pass
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if v is None:
+        return "\0NULL"
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle"
+
+    sdf = q(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(sql)
+    d_cols = rel.columns
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (s_cols, d_cols)
+    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)}"
+    got, want = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)
+    if got != want:
+        diff = [(a, b) for a, b in zip(got, want) if a != b][:5]
+        raise AssertionError(f"{name} value mismatch, first diffs: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"url", "host", "depth", "retry_count", "visited"}
