@@ -1,0 +1,292 @@
+"""Benchmark harness: headline crawl-engine queries + scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "throughput": {...}, "scaling": {...}}
+
+Queries (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[$SPARK_GRAFT_CPUS]):
+
+  q_crawl     full BFS crawl of the synthetic corpus to completion
+              (waves + retries + snapshot commits) — end-to-end engine
+  q_schedule  one scheduling mega-wave: ~`SCHED_VARIANTS` candidate hrefs
+              per corpus page through resolve -> canonicalize -> validate
+              -> dedup -> bloom -> anti-join -> politeness -> ordered seq.
+              This is the BASELINE metric's hot path ("URLs scheduled+
+              deduped/sec").
+  q_extract   fused HTML->spans extraction UDF over HTML rendered natively
+              from corpus spans (pages/sec through the Arrow boundary)
+  q_export    span->markdown serialization + minify UDF over all pages
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors;
+sandbox has one machine, so N and 4N cores): `--scaling` re-runs q_schedule
+in TWO fresh subprocess JVMs at local[8] and local[32] on identical input
+and reports urls/sec at both plus eff = (thr_32 / thr_8) / 4.  Results are
+summarized in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+M = 2                  # corpus replicas
+SCHED_VARIANTS = 60    # candidate hrefs per corpus page in q_schedule
+MAX_RETRIES = 2
+
+
+def _spark(cpus: str):
+    from crawler_to_md_spark.session import get_spark
+
+    return get_spark(app_name="bench", master=f"local[{cpus}]")
+
+
+def _corpus(spark, sf_dir):
+    from crawler_to_md_spark.sources import corpus
+
+    return corpus.synth_corpus(spark, sf_dir, replicas=M)
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+def stage_crawl(spark, sf_dir) -> dict:
+    from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+    from crawler_to_md_spark.sources import corpus
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    eng = CrawlEngine(
+        spark, wh, corpus=_corpus(spark, sf_dir),
+        config=CrawlConfig(scope_domain="example.com", max_retries=MAX_RETRIES,
+                           assume_no_dot_segments=True),
+    )
+    eng.seed([corpus.seed_url()])
+    t0 = time.time()
+    runs = eng.run_to_completion()
+    elapsed = time.time() - t0
+    n_urls = eng.total_link_count()
+    return {
+        "sec": elapsed,
+        "urls": n_urls,
+        "urls_per_sec": n_urls / elapsed,
+        "waves": sum(r["waves"] for r in runs),
+    }
+
+
+def _schedule_input(spark, sf_dir):
+    """Candidate hrefs: SCHED_VARIANTS per page, mixing exact dupes of
+    seen URLs, fragment/case variants (dedupe after canonicalization),
+    junk schemes, out-of-scope hosts, and genuinely new URLs."""
+    from pyspark.sql import functions as F
+
+    pages = _corpus(spark, sf_dir).select("url", "host")
+    v = F.col("v")
+    href = (
+        F.when(v % 10 == 0, F.col("url"))                       # seen dupe
+        .when(v % 10 == 1, F.concat(F.col("url"), F.lit("#frag")))
+        .when(v % 10 == 2, F.upper(F.col("url")))               # case variant
+        .when(v % 10 == 3, F.lit("mailto:u@example.com"))
+        .when(v % 10 == 4, F.concat(F.lit("https://outside.org/x"), v))
+        .when(v % 10 == 5, F.concat(F.lit("n"), v))             # relative new
+        .otherwise(F.concat(F.col("url"), F.lit("-v"), v))      # absolute new
+    )
+    return (
+        pages.withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(SCHED_VARIANTS - 1))))
+        .select(
+            F.col("url").alias("page_url"),
+            href.alias("href"),
+            F.lit(0).alias("parent_depth"),
+        )
+    )
+
+
+def stage_schedule(spark, sf_dir) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.functions import urlkit
+    from crawler_to_md_spark.functions.bloom import BloomShards
+    from crawler_to_md_spark.operators.politeness import politeness_cap
+    from crawler_to_md_spark.operators.schedule import schedule_candidates
+    from crawler_to_md_spark.operators.seq import with_ordered_seq
+
+    seen = (
+        _corpus(spark, sf_dir)
+        .select("url", urlkit.url_hash(F.col("url")).alias("url_hash"))
+        .persist()
+    )
+    bloom = BloomShards.empty()
+    bloom.add_dataframe(seen)
+    raw = _schedule_input(spark, sf_dir).persist()
+    n_raw = raw.count()
+
+    t0 = time.time()
+    cand, new = schedule_candidates(raw, seen, bloom=bloom,
+                                    scope_domain="example.com")
+    batch = politeness_cap(
+        new.withColumn("priority", F.lit(0)), host_budget=1 << 30
+    )
+    scheduled = with_ordered_seq(batch, ["url"]).count()
+    elapsed = time.time() - t0
+    raw.unpersist()
+    seen.unpersist()
+    return {
+        "sec": elapsed,
+        "raw_candidates": n_raw,
+        "scheduled": scheduled,
+        "urls_per_sec": n_raw / elapsed,
+    }
+
+
+def stage_extract(spark, sf_dir) -> dict:
+    """Render HTML natively from spans, then run the fused extraction UDF."""
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.functions.extraction import make_extract_udf
+
+    html_expr = """
+    concat('<html><head><title>', title, '</title></head><body>',
+      array_join(transform(spans, s -> CASE
+        WHEN s.kind LIKE 'heading%' THEN
+          '<h' || substr(s.kind, 8) || '>' || s.text || '</h' || substr(s.kind, 8) || '>'
+        WHEN s.kind = 'paragraph' THEN '<p>' || s.text || '</p>'
+        WHEN s.kind = 'code' THEN '<pre>' || s.text || '</pre>'
+        WHEN s.kind = 'image' THEN '<img src="' || s.media_ref || '"/>'
+        WHEN s.kind = 'link' THEN '<a href="' || s.media_ref || '">' || coalesce(s.text, '') || '</a>'
+        ELSE '' END), ''),
+      '</body></html>')
+    """
+    docs = (
+        _corpus(spark, sf_dir).filter("cls = 'ok'")
+        .select("url", F.expr(html_expr).alias("html"))
+        .persist()
+    )
+    n = docs.count()
+    extract = make_extract_udf()
+    t0 = time.time()
+    out = docs.select(extract(F.col("html")).alias("e"))
+    n_spans = out.select(F.sum(F.size("e.spans"))).collect()[0][0]
+    elapsed = time.time() - t0
+    docs.unpersist()
+    return {"sec": elapsed, "pages": n, "spans": int(n_spans),
+            "pages_per_sec": n / elapsed}
+
+
+def stage_export(spark, sf_dir) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.functions.markdown import (
+        minify_markdown_udf,
+        spans_to_markdown_expr,
+    )
+
+    docs = _corpus(spark, sf_dir).filter("cls = 'ok'").select("url", "spans").persist()
+    n = docs.count()
+    t0 = time.time()
+    rendered = docs.select(
+        minify_markdown_udf(
+            F.expr(spans_to_markdown_expr("spans"))
+        ).alias("md")
+    )
+    total = rendered.select(F.sum(F.length("md"))).collect()[0][0]
+    elapsed = time.time() - t0
+    docs.unpersist()
+    return {"sec": elapsed, "pages": n, "md_bytes": int(total),
+            "pages_per_sec": n / elapsed}
+
+
+STAGES = {
+    "crawl": stage_crawl,
+    "schedule": stage_schedule,
+    "extract": stage_extract,
+    "export": stage_export,
+}
+
+
+# ---------------------------------------------------------------------------
+# scaling (two fresh JVMs)
+# ---------------------------------------------------------------------------
+
+
+def run_child(stage: str, cpus: str, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", stage],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def scaling_report(sf_dir: str, lo: str = "8", hi: str = "32") -> dict:
+    lo_r = run_child("schedule", lo, sf_dir)
+    hi_r = run_child("schedule", hi, sf_dir)
+    factor = int(hi) / int(lo)
+    eff = (hi_r["urls_per_sec"] / lo_r["urls_per_sec"]) / factor
+    return {
+        "stage": "schedule",
+        "cores": [int(lo), int(hi)],
+        "urls_per_sec": [lo_r["urls_per_sec"], hi_r["urls_per_sec"]],
+        "sec": [lo_r["sec"], hi_r["sec"]],
+        "efficiency": eff,
+    }
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", choices=sorted(STAGES))
+    ap.add_argument("--scaling", action="store_true",
+                    help="also run q_schedule at local[8] and local[32]")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.child:
+        spark = _spark(CPUS)
+        print(json.dumps(STAGES[args.child](spark, args.sf_dir)))
+        return
+
+    spark = _spark(CPUS)
+    queries: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    for name, fn in STAGES.items():
+        r = fn(spark, args.sf_dir)
+        queries[f"q_{name}"] = round(r["sec"], 3)
+        detail[f"q_{name}"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                               for k, v in r.items()}
+
+    result = {
+        "metric": "crawl frontier throughput (URLs scheduled+deduped/sec) "
+                  "+ end-to-end crawl/extract/export stage times",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "throughput": {
+            "schedule_urls_per_sec": detail["q_schedule"]["urls_per_sec"],
+            "crawl_urls_per_sec": detail["q_crawl"]["urls_per_sec"],
+            "extract_pages_per_sec": detail["q_extract"]["pages_per_sec"],
+        },
+        "detail": detail,
+    }
+    if args.scaling:
+        result["scaling"] = scaling_report(args.sf_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.bloom import BloomShards
+from crawler_to_md_spark.operators import schedule
 from crawler_to_md_spark.operators.politeness import (
     global_cap,
     politeness_cap,
@@ -61,7 +62,25 @@ from crawler_to_md_spark.store.schemas import DOCS_SCHEMA, LINKS_SCHEMA, METRICS
 from crawler_to_md_spark.store.warehouse import SnapshotStore
 
 RETRIABLE_STATUSES = (429, 500, 502, 503, 504)  # scraper.py:101-106 forcelist
-_DOT_SEGMENT = r"(^|/)\.\.?(/|$)"
+
+_PROFILE = bool(os.environ.get("CMS_PROFILE"))
+
+
+class _phase_timer:
+    """Prints per-phase wall times when CMS_PROFILE is set (perf triage)."""
+
+    def __init__(self, wave_id: int):
+        self.wave_id = wave_id
+        self.t = None
+
+    def mark(self, label: str) -> None:
+        import time
+
+        now = time.time()
+        if _PROFILE and self.t is not None:
+            print(f"[wave {self.wave_id}] {self.label:<16} {now - self.t:6.2f}s")
+        self.t = now
+        self.label = label
 
 
 @dataclass
@@ -78,6 +97,11 @@ class CrawlConfig:
     global_budget: int | None = None         # per-wave cap (rate-limit analog, O3)
     salt_shards: int = 8                     # politeness skew fan-out
     max_waves: int = 200
+    assume_no_dot_segments: bool = False     # skip urljoin-UDF branch
+    # AQE's stage-materialization barriers cost ~1s/wave on small
+    # micro-batches; a cluster run with large waves should keep it on
+    # (skew-join + partition coalescing outweigh the barrier cost there)
+    aqe_in_waves: bool = False
     use_bloom: bool = True
     bloom_shards: int = 32
     bloom_bits: int = 1 << 20                # per shard; power of 2
@@ -217,9 +241,13 @@ class CrawlEngine:
     # one wave
     # ------------------------------------------------------------------
 
-    def _wave(self, wave_id: int, run_id: int, bloom: BloomShards | None) -> int:
-        """Process one micro-batch; returns the number of URLs dequeued."""
+    def _wave(
+        self, wave_id: int, run_id: int, bloom: BloomShards | None
+    ) -> tuple[int, int]:
+        """Process one micro-batch; returns (urls dequeued, links inserted)."""
         cfg = self.config
+        pt = _phase_timer(wave_id)
+        pt.mark("fetch+stats")
         links_all = self.store.read("links")
         pending = links_all.filter(~F.col("visited")).withColumn(
             "priority", F.col("depth")
@@ -282,6 +310,7 @@ class CrawlEngine:
                 F.col("outcome").isin("http_skip", "nonhtml_skip").cast("long")
             ).alias("skipped"),
         ).collect()[0]
+        pt.mark("docs_plan")
 
         # ---- docs rows (O5 failure taxonomy) --------------------------
         err_type = (
@@ -329,12 +358,15 @@ class CrawlEngine:
         )
 
         # ---- link discovery (one-parse: ok + empty pages) -------------
+        pt.mark("discover")
         inserted = 0
         discovered = 0
         new_links = None
         if cfg.discover_links:
             cand_all, cand = self._discover(fetched, links_all, bloom)
+            cand = cand.persist()   # seq runs 3 jobs over it; evaluate once
             discovered = cand_all.count()
+            pt.mark("seq")
             new_links = with_ordered_seq(
                 cand.select(
                     "url", "url_hash", "host",
@@ -347,6 +379,8 @@ class CrawlEngine:
             ).select(*LINKS_SCHEMA.fieldNames()).persist()
             inserted = new_links.count()
             cand_all.unpersist()
+            cand.unpersist()
+        pt.mark("links_merge")
 
         # ---- frontier state update (O2 + A5, one MERGE analog) --------
         upd = fetched.select("url", F.col("new_retry").alias("__retry"))
@@ -382,12 +416,14 @@ class CrawlEngine:
         counters["links_inserted"] = counters.get("links_inserted", 0) + inserted
         lineage["counters"] = counters
         lineage["frontier_offset"] = wave_id
+        pt.mark("bloom")
         if bloom is not None and new_links is not None and inserted:
             bloom.add_dataframe(new_links)
             bloom.save(self._bloom_dir())
         if bloom is not None:
             lineage["bloom_version"] = bloom.version
 
+        pt.mark("commit")
         self.store.commit(
             {"links": links_new, "docs": docs_new, "metrics": metrics_new},
             batch_id=wave_id,
@@ -396,17 +432,19 @@ class CrawlEngine:
         fetched.unpersist()
         if new_links is not None:
             new_links.unpersist()
-        return int(stats["dequeued"] or 0)
+        pt.mark("end")
+        return int(stats["dequeued"] or 0), inserted
 
     def _discover(
         self, fetched: DataFrame, links_all: DataFrame, bloom: BloomShards | None
     ) -> tuple[DataFrame, DataFrame]:
-        """Parsed pages -> (all validated+deduped candidates, unseen subset).
+        """Parsed pages -> (all validated+deduped candidates, unseen subset)
+        via the shared scheduling operator (operators/schedule.py).
 
         The first element is persisted (it feeds both the seen filter and
         the per-wave discovered-count metric, A3/O10)."""
         cfg = self.config
-        base = fetched.filter("parsed").select(
+        raw = fetched.filter("parsed").select(
             F.col("url").alias("page_url"),
             F.col("depth").alias("parent_depth"),
             F.explode(
@@ -415,47 +453,19 @@ class CrawlEngine:
         ).select(
             "page_url", "parent_depth", F.col("s.media_ref").alias("href")
         )
-        # dot-segment hrefs need full urljoin semantics -> vectorized UDF
-        # branch; everything else resolves natively under codegen
-        dotty = F.col("href").rlike(_DOT_SEGMENT)
-        resolved = base.filter(~dotty).withColumn(
-            "resolved", urlkit.resolve_href(F.col("page_url"), F.col("href"))
-        ).unionByName(
-            base.filter(dotty).withColumn(
-                "resolved", urlkit.resolve_href_udf(F.col("page_url"), F.col("href"))
-            )
+        resolved = schedule.resolve_candidates(
+            raw, assume_no_dot_segments=cfg.assume_no_dot_segments
         )
-        canon = resolved.withColumn("url", urlkit.canonicalize(F.col("resolved")))
-        valid = canon.filter(
-            urlkit.is_valid_link(
-                F.col("url"),
-                base_url=cfg.scope_base_url,
-                domain_suffix=cfg.scope_domain,
-                include_patterns=cfg.include_patterns,
-                exclude_patterns=cfg.exclude_patterns,
-            )
+        valid = schedule.validate_candidates(
+            resolved,
+            scope_base_url=cfg.scope_base_url,
+            scope_domain=cfg.scope_domain,
+            include_patterns=cfg.include_patterns,
+            exclude_patterns=cfg.exclude_patterns,
+            robots=self.robots,
         )
-        valid = robots_filter(
-            valid.withColumn("host", urlkit.url_host(F.col("url"))), self.robots
-        )
-        # per-wave dedup (A4) + first-discovery depth = min parent depth + 1
-        cand = valid.groupBy("url", "host").agg(
-            (F.min("parent_depth") + 1).cast("int").alias("depth")
-        ).withColumn("url_hash", urlkit.url_hash(F.col("url"))).persist()
-
-        if bloom is not None:
-            maybe = bloom.might_contain_udf(self.spark)
-            flagged = cand.withColumn("__maybe", maybe(F.col("url_hash")))
-            sure_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
-            suspects = (
-                flagged.filter(F.col("__maybe")).drop("__maybe")
-                .join(links_all.select("url_hash", "url"),
-                      ["url_hash", "url"], "left_anti")
-            )
-            return cand, sure_new.unionByName(suspects)
-        return cand, cand.join(
-            links_all.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-        )
+        cand = schedule.dedup_candidates(valid).persist()
+        return cand, schedule.filter_unseen(cand, links_all, bloom)
 
     # ------------------------------------------------------------------
     # runs
@@ -487,15 +497,22 @@ class CrawlEngine:
         """One crawl run: optional requeue, then waves until the frontier
         drains (or max_waves).  Returns run summary counters."""
         run_id = int(self.store.lineage.get("runs", 0)) + 1
+        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if not self.config.aqe_in_waves:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         requeued = self._requeue(run_id) if resume else 0
         bloom = self._load_bloom()
         waves = 0
         dequeued_total = 0
-        while waves < self.config.max_waves:
-            pending = self.store.read("links").filter(~F.col("visited")).limit(1).count()
-            if pending == 0:
-                break
-            n = self._wave(self.store.batch_id + 1, run_id, bloom)
+        # pending is tracked arithmetically across waves (pending' =
+        # pending - dequeued + inserted) — exact even under politeness /
+        # global caps, and saves one Spark job per wave
+        pending = (
+            self.store.read("links").filter(~F.col("visited")).count()
+        )
+        while pending > 0 and waves < self.config.max_waves:
+            n, inserted = self._wave(self.store.batch_id + 1, run_id, bloom)
+            pending = pending - n + inserted
             dequeued_total += n
             waves += 1
             if n == 0:
@@ -503,6 +520,7 @@ class CrawlEngine:
         lineage = dict(self.store.lineage)
         lineage["runs"] = run_id
         self.store.commit({}, batch_id=self.store.batch_id, lineage=lineage)
+        self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return {"run_id": run_id, "waves": waves,
                 "dequeued": dequeued_total, "requeued": requeued}
 

@@ -1,0 +1,132 @@
+"""URL scheduling: raw hrefs -> validated, deduped, unseen frontier rows.
+
+This is the frontier's hot path — the operator the BASELINE throughput
+metric measures ("URLs scheduled+deduped/sec").  One declarative chain:
+
+    (page_url, href, parent_depth)
+      -> resolve relative reference        [F2, native; dot-segments via
+                                            vectorized UDF branch]
+      -> canonicalize                      [F1, native codegen]
+      -> validate scheme/scope/patterns    [P1-P5, native]
+      -> robots gate                       [broadcast join]
+      -> per-batch dedup + min parent depth [A4; one shuffle on url]
+      -> bloom prefilter                   [Arrow UDF over broadcast shards]
+      -> exact anti-join vs seen set       [J2; only bloom-positives shuffle]
+
+Everything except the two declared vectorized UDFs (dot-segment urljoin,
+bloom membership) runs inside whole-stage codegen.  The only full-width
+shuffles are the dedup groupBy (keyed by url — uniform, no skew: URLs hash
+evenly even when hosts don't) and the anti-join, whose probe side the bloom
+prefilter cuts to the tiny maybe-seen fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.functions import urlkit
+from crawler_to_md_spark.functions.bloom import BloomShards
+from crawler_to_md_spark.operators.politeness import robots_filter
+
+_DOT_SEGMENT = r"(^|/)\.\.?(/|$)"
+
+
+def resolve_candidates(raw: DataFrame, assume_no_dot_segments: bool = False
+                       ) -> DataFrame:
+    """Resolve ``href`` against ``page_url``.  Common shapes resolve
+    natively; dot-segment hrefs take the vectorized-urljoin branch.
+
+    ``assume_no_dot_segments`` skips the UDF branch entirely (pure JVM
+    plan) when the caller knows hrefs are dot-free — e.g. the synthetic
+    corpus; a real-HTML deployment leaves it False."""
+    if assume_no_dot_segments:
+        return raw.withColumn(
+            "resolved", urlkit.resolve_href(F.col("page_url"), F.col("href"))
+        )
+    dotty = F.col("href").rlike(_DOT_SEGMENT)
+    return raw.filter(~dotty).withColumn(
+        "resolved", urlkit.resolve_href(F.col("page_url"), F.col("href"))
+    ).unionByName(
+        raw.filter(dotty).withColumn(
+            "resolved", urlkit.resolve_href_udf(F.col("page_url"), F.col("href"))
+        )
+    )
+
+
+def validate_candidates(
+    resolved: DataFrame,
+    scope_base_url: str | None = None,
+    scope_domain: str | None = None,
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+    robots: DataFrame | None = None,
+) -> DataFrame:
+    """Canonicalize + P1-P5 validation + robots gate."""
+    canon = resolved.withColumn("url", urlkit.canonicalize(F.col("resolved")))
+    valid = canon.filter(
+        urlkit.is_valid_link(
+            F.col("url"),
+            base_url=scope_base_url,
+            domain_suffix=scope_domain,
+            include_patterns=include_patterns or [],
+            exclude_patterns=exclude_patterns or [],
+        )
+    )
+    return robots_filter(
+        valid.withColumn("host", urlkit.url_host(F.col("url"))), robots
+    )
+
+
+def dedup_candidates(valid: DataFrame) -> DataFrame:
+    """Per-batch dedup (A4) with first-discovery depth = min parent + 1."""
+    return (
+        valid.groupBy("url", "host")
+        .agg((F.min("parent_depth") + 1).cast("int").alias("depth"))
+        .withColumn("url_hash", urlkit.url_hash(F.col("url")))
+    )
+
+
+def filter_unseen(
+    cand: DataFrame, seen: DataFrame, bloom: BloomShards | None = None
+) -> DataFrame:
+    """J2: keep candidates absent from the seen set.
+
+    With bloom shards, only bloom-positive candidates (true dupes + the
+    tiny FP fraction) reach the exact anti-join; bloom-negatives are new by
+    construction, so a false positive can only cost a redundant check —
+    never drop a URL.
+    """
+    seen_keys = seen.select("url_hash", "url")
+    if bloom is None:
+        return cand.join(seen_keys, ["url_hash", "url"], "left_anti")
+    spark = cand.sparkSession
+    maybe = bloom.might_contain_udf(spark)
+    flagged = cand.withColumn("__maybe", maybe(F.col("url_hash")))
+    sure_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    suspects = (
+        flagged.filter(F.col("__maybe")).drop("__maybe")
+        .join(seen_keys, ["url_hash", "url"], "left_anti")
+    )
+    return sure_new.unionByName(suspects)
+
+
+def schedule_candidates(
+    raw: DataFrame,
+    seen: DataFrame,
+    bloom: BloomShards | None = None,
+    scope_base_url: str | None = None,
+    scope_domain: str | None = None,
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+    robots: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full chain.  ``raw`` needs (page_url, href, parent_depth); returns
+    (all deduped candidates [persisted by caller], unseen subset)."""
+    resolved = resolve_candidates(raw)
+    valid = validate_candidates(
+        resolved, scope_base_url, scope_domain,
+        include_patterns, exclude_patterns, robots,
+    )
+    cand = dedup_candidates(valid)
+    return cand, filter_unseen(cand, seen, bloom)
