@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.markdown import spans_to_markdown_expr
+from crawler_to_md_spark.operators import dedup, multimodal, similarity, textstats
 from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
 from crawler_to_md_spark.sources import corpus
 
@@ -243,6 +244,60 @@ def _seed_list_df(spark, sf_dir):
     ).select("s.seed_seq", "s.raw")
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(spark, sf_dir):
+    return textstats.text_stats(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dup_groups(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def _q_minhash_near_dups(spark, sf_dir):
+    return dedup.minhash_near_dups(dedup.dup_corpus(_docs(spark, sf_dir)),
+                                   threshold=0.5)
+
+
+def _q_embedding_topk(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir), n_queries=8, k=10)
+
+
+def _q_embedding_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=8, k=10,
+                               n_centroids=16)
+
+
+def _q_simhash_near_pairs(spark, sf_dir):
+    """Embedding near-dup via sign-projection sketches.  No SQL oracle —
+    banded hamming LSH is not reasonably SQL-expressible; the driver
+    records a rows-only check and pytest covers the semantics
+    (tests/test_dataops.py::test_simhash_sketch_near_pairs)."""
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    return similarity.simhash_near_pairs(emb, dim, max_hamming=8)
+
+
+def _q_media_stats(spark, sf_dir):
+    return multimodal.media_stats(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal feature extraction through the mapInPandas plumbing
+    (deterministic stub decode — see operators/multimodal.py).  Decode
+    internals have no SQL twin; n_bytes does, so the driver's rows-only
+    check is backed by the media_stats oracle next to it."""
+    m = multimodal.media_table(_docs(spark, sf_dir))
+    return multimodal.extract_media_features(m).select(
+        "doc_id", "media_type", "n_bytes", "width", "height")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_class_histogram": _q_corpus_class_histogram,
@@ -259,6 +314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filenames": _q_url_filenames,
         "export_relpaths": _q_export_relpaths,
         "seed_dedup": _q_seed_dedup,
+        "text_stats": _q_text_stats,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
     }
 
 
@@ -413,4 +476,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(seed_seq) AS BIGINT) AS first_seq, url
             FROM canon GROUP BY url
         """,
+        "text_stats": textstats.duck_text_stats_sql(),
+        "exact_dedup": dedup.duck_exact_dups_sql(),
+        "minhash_near_dups": dedup.duck_brute_force_near_dups_sql(threshold=0.5),
+        "embedding_topk": similarity.duck_brute_force_topk_sql(n_queries=8, k=10),
+        "embedding_ivf_topk": similarity.duck_ivf_topk_sql(
+            n_queries=8, k=10, n_centroids=16),
+        # simhash_near_pairs / media_features: intentionally no oracle
+        # (banded hamming LSH and the stub decoder are not SQL-expressible;
+        # rows-only check + pytest semantics coverage)
+        "media_stats": multimodal.duck_media_stats_sql(),
     }

@@ -33,10 +33,26 @@ from pyspark.sql.types import StringType
 
 # --------------------------------------------------------------------------
 # Native canonicalization (hot path, whole-stage codegen)
+#
+# These primitives run once per candidate URL per wave — at 10^10-URL
+# frontier scale this is the hottest expression chain in the engine, so it
+# is written with substring/translate operations only: a profile of the
+# scheduling stage showed the earlier regex-based variant (6+ matcher
+# allocations per URL) memory-bandwidth-bound.  The one check that needs a
+# character class (scheme alphabet) uses translate() against the allowed
+# set instead of a pattern.
 # --------------------------------------------------------------------------
 
-# scheme "://" netloc rest   (rest = path[;params][?query], fragment removed first)
-_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$"
+_SEP = "://"
+_SCHEME_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789+.-"
+
+# NOTE on expression shape: every helper must reference its input column a
+# BOUNDED, small number of times.  Catalyst's CollapseProject inlines
+# withColumn chains by substitution, so a helper that mentions its input k
+# times multiplies the upstream tree by k — layered helpers then blow up
+# multiplicatively (observed: 42 MiB task binaries and whole-stage codegen
+# bailing out, which silently fell back to interpreted evaluation).  The
+# split-once pattern below keeps each derivation linear.
 
 
 def defrag(url: Column) -> Column:
@@ -44,35 +60,81 @@ def defrag(url: Column) -> Column:
     return F.substring_index(url, "#", 1)
 
 
+def _after_sep(url: Column) -> Column:
+    """Everything after the FIRST ``://`` (NULL when absent) — one input
+    reference via split-with-limit."""
+    return F.get(F.split(url, _SEP, 2), 1)
+
+
 def url_scheme(url: Column) -> Column:
-    return F.lower(F.regexp_extract(url, _URL_RE, 1))
+    """Lowercased text before the first ``://`` (the whole string when no
+    separator — callers validate with :func:`_valid_scheme` / NULL
+    ``_after_sep``)."""
+    return F.lower(F.substring_index(url, _SEP, 1))
 
 
 def url_netloc(url: Column) -> Column:
     """netloc exactly as written (may contain userinfo / port)."""
-    return F.regexp_extract(url, _URL_RE, 2)
+    return F.coalesce(
+        F.substring_index(F.substring_index(_after_sep(url), "/", 1), "?", 1),
+        F.lit(""),
+    )
+
+
+def _rest_of(after: Column, netloc: Column) -> Column:
+    return F.coalesce(F.substr(after, F.length(netloc) + 1), F.lit(""))
 
 
 def url_rest(url: Column) -> Column:
     """path + params + query (fragment must already be stripped)."""
-    return F.regexp_extract(url, _URL_RE, 3)
+    after = _after_sep(url)
+    netloc = F.substring_index(F.substring_index(after, "/", 1), "?", 1)
+    return _rest_of(after, netloc)
+
+
+def _hostport_of(netloc: Column) -> Column:
+    return F.substring_index(netloc, "@", -1)
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased hostname: netloc minus userinfo minus port."""
-    hostport = F.substring_index(url_netloc(url), "@", -1)
-    return F.lower(F.regexp_replace(hostport, r":[0-9]*$", ""))
+    """Lowercased hostname: netloc minus userinfo minus port (first-colon
+    prefix; substring_index returns the whole string when no colon)."""
+    return F.coalesce(
+        F.lower(F.substring_index(_hostport_of(url_netloc(url)), ":", 1)),
+        F.lit(""),
+    )
+
+
+def _port_num_of(hostport: Column) -> Column:
+    """Parsed port int; NULL when absent or non-numeric."""
+    return F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).try_cast("int")
 
 
 def url_port(url: Column) -> Column:
-    """Explicit numeric port or empty string."""
-    hostport = F.substring_index(url_netloc(url), "@", -1)
-    return F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    """Explicit port digits (normalized, no leading zeros) or ''."""
+    port_num = _port_num_of(_hostport_of(url_netloc(url)))
+    return F.when(
+        port_num.isNotNull() & (port_num >= 0), port_num.cast("string")
+    ).otherwise(F.lit(""))
 
 
 def url_path(url: Column) -> Column:
     """path+params (everything before ``?``) of an absolute URL."""
     return F.substring_index(url_rest(url), "?", 1)
+
+
+def _valid_scheme(scheme_lower: Column) -> Column:
+    """[a-z][a-z0-9+.-]*: translate() empties valid schemes; the first
+    char must be a letter."""
+    first = F.substring(scheme_lower, 1, 1)
+    return (
+        (scheme_lower != F.lit(""))
+        & (F.translate(scheme_lower, _SCHEME_CHARS, "") == F.lit(""))
+        & (first >= F.lit("a"))
+        & (first <= F.lit("z"))
+    )
 
 
 def canonicalize(url: Column) -> Column:
@@ -85,19 +147,20 @@ def canonicalize(url: Column) -> Column:
     invalid, exactly like ``urlparse(...).port`` raising ValueError.
     """
     s = defrag(F.trim(url))
+    after = _after_sep(s)
     scheme = url_scheme(s)
-    netloc = url_netloc(s)
-    hostport = F.substring_index(netloc, "@", -1)
-    host = url_host(s)
-    port = url_port(s)
-    rest = url_rest(s)
+    netloc = F.substring_index(F.substring_index(after, "/", 1), "?", 1)
+    hostport = _hostport_of(netloc)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port_num = _port_num_of(hostport)
+    rest = _rest_of(after, netloc)
 
-    bad_port = (hostport.contains(":") & (port == F.lit(""))) | (
-        (port != F.lit("")) & (port.cast("long") > 65535)
+    bad_port = hostport.contains(":") & (
+        port_num.isNull() | (port_num > 65535) | (port_num < 0)
     )
     valid = (
-        s.rlike(_URL_RE)
-        & (scheme != F.lit(""))
+        after.isNotNull()
+        & _valid_scheme(scheme)
         & (host != F.lit(""))
         & ~bad_port
         & ~host.contains("[")  # IPv6 literals -> UDF path only
@@ -106,10 +169,82 @@ def canonicalize(url: Column) -> Column:
         scheme,
         F.lit("://"),
         host,
-        F.when(port != F.lit(""), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(
+            port_num.isNotNull(), F.concat(F.lit(":"), port_num.cast("string"))
+        ).otherwise(F.lit("")),
         rest,
     )
     return F.when(valid, canon).otherwise(F.lit(None).cast("string"))
+
+
+def with_canonical_url(df, src_col: str, out_col: str = "url"):
+    """DataFrame-level canonicalization with manual common-subexpression
+    elimination.
+
+    The column-level :func:`canonicalize` duplicates shared subtrees
+    (hostport, port, netloc) inside one big CASE expression; under
+    whole-stage codegen every duplicate is generated again, and fused with
+    an upstream resolve projection the generated method crosses the JVM's
+    64 KB limit — Spark then silently falls back to INTERPRETED evaluation
+    for the engine's hottest stage.  Staged ``withColumns`` name each
+    shared piece once, so codegen computes each into a local and the
+    generated code stays small.  (CollapseProject will not re-inline them:
+    it only collapses cheap or singly-referenced expressions.)
+
+    Semantics are identical to :func:`canonicalize`; use this form on the
+    high-volume scheduling path, the Column form for small/one-off data.
+    """
+    s = defrag(F.trim(F.col(src_col)))
+    internals = ["__after", "__scheme", "__netloc", "__hostport", "__rest",
+                 "__host", "__portnum"]
+    out = (
+        df.withColumns(
+            {
+                "__after": _after_sep(s),
+                "__scheme": url_scheme(s),
+            }
+        )
+        .withColumns(
+            {
+                "__netloc": F.substring_index(
+                    F.substring_index(F.col("__after"), "/", 1), "?", 1
+                ),
+            }
+        )
+        .withColumns(
+            {
+                "__hostport": _hostport_of(F.col("__netloc")),
+                "__rest": _rest_of(F.col("__after"), F.col("__netloc")),
+            }
+        )
+        .withColumns(
+            {
+                "__host": F.lower(F.substring_index(F.col("__hostport"), ":", 1)),
+                "__portnum": _port_num_of(F.col("__hostport")),
+            }
+        )
+    )
+    hostport, host, portnum = F.col("__hostport"), F.col("__host"), F.col("__portnum")
+    bad_port = hostport.contains(":") & (
+        portnum.isNull() | (portnum > 65535) | (portnum < 0)
+    )
+    valid = (
+        F.col("__after").isNotNull()
+        & _valid_scheme(F.col("__scheme"))
+        & (host != F.lit(""))
+        & ~bad_port
+        & ~host.contains("[")
+    )
+    canon = F.concat(
+        F.col("__scheme"), F.lit("://"), host,
+        F.when(portnum.isNotNull(), F.concat(F.lit(":"), portnum.cast("string")))
+        .otherwise(F.lit("")),
+        F.col("__rest"),
+    )
+    return (
+        out.withColumn(out_col, F.when(valid, canon).otherwise(F.lit(None).cast("string")))
+        .drop(*internals)
+    )
 
 
 def url_hash(canon_url: Column) -> Column:
@@ -225,6 +360,63 @@ def url_dirname_expr(url: Column) -> Column:
     return F.when(dir_.endswith("/"), dir_).otherwise(F.concat(dir_, F.lit("/")))
 
 
+def with_resolved_href(df, page_col: str, href_col: str, out_col: str = "resolved"):
+    """DataFrame-level href resolution with manual CSE (same rationale as
+    :func:`with_canonical_url`: the Column form duplicates the page-dirname
+    subtree, and downstream substitution multiplies it into generated code
+    beyond the JVM's 64 KB method limit).  Semantics identical to
+    :func:`resolve_href`; dot-segment hrefs resolve to NULL here."""
+    page, href = F.col(page_col), F.col(href_col)
+    internals = ["__h", "__psch", "__pnl", "__ppath", "__pdir0", "__pdir"]
+    out = (
+        df.withColumns(
+            {
+                "__h": F.trim(href),
+                "__psch": url_scheme(page),
+                "__pnl": url_netloc(page),
+                "__ppath": url_path(page),
+            }
+        )
+        .withColumns(
+            {
+                # page directory: drop the last path segment (utils.py:58-90)
+                "__pdir0": F.when(
+                    F.col("__ppath").contains("/"),
+                    F.concat(
+                        F.col("__psch"), F.lit("://"), F.col("__pnl"),
+                        F.regexp_replace(F.col("__ppath"), r"/[^/]*$", ""),
+                    ),
+                ).otherwise(
+                    F.concat(F.col("__psch"), F.lit("://"), F.col("__pnl"))
+                ),
+            }
+        )
+        .withColumns(
+            {
+                "__pdir": F.when(
+                    F.col("__pdir0").endswith("/"), F.col("__pdir0")
+                ).otherwise(F.concat(F.col("__pdir0"), F.lit("/"))),
+            }
+        )
+    )
+    h = F.col("__h")
+    has_scheme = h.contains(":") & _valid_scheme(
+        F.lower(F.substring_index(h, ":", 1))
+    )
+    resolved = (
+        F.when(h.contains("./"), F.lit(None).cast("string"))
+        .when(has_scheme, h)
+        .when(h.startswith("//"), F.concat(F.col("__psch"), F.lit(":"), h))
+        .when(
+            h.startswith("/"),
+            F.concat(F.col("__psch"), F.lit("://"), F.col("__pnl"), h),
+        )
+        .when(h == F.lit(""), page)
+        .otherwise(F.concat(F.col("__pdir"), h))
+    )
+    return out.withColumn(out_col, resolved).drop(*internals)
+
+
 def resolve_href(page_url: Column, href: Column) -> Column:
     """Resolve an href against its page URL — native subset of urljoin
     (reference scraper.py:203).
@@ -238,9 +430,14 @@ def resolve_href(page_url: Column, href: Column) -> Column:
     href_t = F.trim(href)
     page_scheme = url_scheme(page_url)
     origin = F.concat(page_scheme, F.lit("://"), url_netloc(page_url))
-    has_scheme = href_t.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    # scheme-prefixed iff text before the first ':' is a valid scheme
+    # (substring+translate — no per-href regex in the hot path)
+    has_scheme = href_t.contains(":") & _valid_scheme(
+        F.lower(F.substring_index(href_t, ":", 1))
+    )
     return (
-        F.when(href_t.rlike(r"\.\.?/"), F.lit(None).cast("string"))
+        # "./" catches both "./x" and "../x" anywhere in the href
+        F.when(href_t.contains("./"), F.lit(None).cast("string"))
         .when(has_scheme, href_t)
         .when(href_t.startswith("//"), F.concat(page_scheme, F.lit(":"), href_t))
         .when(href_t.startswith("/"), F.concat(origin, href_t))

@@ -1,0 +1,226 @@
+"""Deduplication for training-data pipelines: exact and MinHash-LSH.
+
+Exact dedup is a hash-groupBy on the content digest (md5 — byte-identical
+in Spark and DuckDB, so the oracle checks the digests themselves).
+Near-dup is MinHash over 3-word shingles with LSH banding:
+
+    shingle -> md5-prefix 60-bit int -> 32 permuted minima (signature)
+    -> 8 bands x 4 rows -> band hash -> self-join on (band, hash)
+    -> verify candidates with EXACT shingle Jaccard >= threshold
+
+All native expressions — signatures are ``transform``s over the shingle
+hash array inside codegen; the only shuffles are the band-bucket self-join
+(keyed by band hash — uniform) and the final distinct.  Because candidates
+are verified with exact Jaccard, LSH false positives never surface; a
+false *negative* needs a >=threshold pair missed by all 8 bands
+(P ~ (1-j^4)^8, < 1e-5 at j=0.8) — the planted duplicates in the test
+corpus sit at j ~ 0.9+ where misses are negligible and, with fixed hash
+constants, deterministic.
+
+Scale notes: at 10^10 documents the band self-join is the cost center;
+bucket sizes stay bounded because identical band hashes imply
+near-identical shingle prefixes; pathological buckets (boilerplate) are
+capped with a per-bucket limit before pairing (``max_bucket`` below),
+which is also what production LSH dedup does to bound quadratic blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators.textstats import shingles
+
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+# 31-bit Mersenne prime universe: a*h + b stays < 2^62, no int64 overflow
+# under Spark's ANSI arithmetic; collisions at 2^31 are negligible for
+# per-document shingle counts
+_PRIME = (1 << 31) - 1
+
+
+def _perm_constants(n: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic LCG-derived (a, b) pairs (seeded, no randomness)."""
+    out = []
+    x = 42
+    for _ in range(n):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (_PRIME - 1)) | 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % _PRIME
+        out.append((a, b))
+    return out
+
+
+PERMS = _perm_constants()
+
+
+def shingle_hashes(text: F.Column) -> F.Column:
+    """31-bit ints from md5 prefixes of distinct 3-word shingles (conv of
+    15 hex chars mod the Mersenne prime — same arithmetic as the oracle)."""
+    return F.transform(
+        shingles(text),
+        lambda s: (
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % F.lit(_PRIME)
+        ),
+    )
+
+
+def minhash_signature(text: F.Column) -> F.Column:
+    """Array of NUM_PERM minima of (a*h + b) mod PRIME over shingle hashes."""
+    hashes = shingle_hashes(text)
+    mins = [
+        F.array_min(
+            F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_PRIME))
+        )
+        for a, b in PERMS
+    ]
+    return F.array(*mins)
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated digest."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Verified near-duplicate pairs (doc_a < doc_b, exact jaccard)."""
+    sig = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        minhash_signature(F.col(text_col)).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id", "__text",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1,
+                                        ROWS_PER_BAND),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "__text", "bb.band", "bb.bh")
+    # cap pathological buckets (boilerplate) to bound the quadratic join
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh").orderBy("doc_id")
+    bands = bands.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket
+    ).drop("__rn")
+
+    a = bands.select(
+        F.col("band").alias("band"), F.col("bh").alias("bh"),
+        F.col("doc_id").alias("doc_a"), F.col("__text").alias("text_a"),
+    )
+    b = bands.select(
+        F.col("band").alias("band"), F.col("bh").alias("bh"),
+        F.col("doc_id").alias("doc_b"), F.col("__text").alias("text_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "text_a", "text_b")
+        .distinct()
+    )
+    sh_a, sh_b = shingles(F.col("text_a")), shingles(F.col("text_b"))
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# planted-duplicate corpus (shared derivation; oracle twin below)
+# ---------------------------------------------------------------------------
+
+DUP_EXACT_MOD = 7        # doc_id % 7 == 0 -> exact copy at doc_id + 10^6
+DUP_NEAR_MOD = 11        # doc_id % 11 == 0 -> near copy at doc_id + 2*10^6
+NEAR_SUFFIX = " extra tail token"
+
+
+def dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents + planted exact copies + planted near copies."""
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % DUP_EXACT_MOD == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % DUP_NEAR_MOD == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+DUCK_DUP_CORPUS = f"""
+dup_corpus AS (
+    SELECT doc_id, text FROM {{docs_rel}}
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM {{docs_rel}}
+    WHERE doc_id % {DUP_EXACT_MOD} = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || '{NEAR_SUFFIX}' FROM {{docs_rel}}
+    WHERE doc_id % {DUP_NEAR_MOD} = 0
+)
+""".strip()
+
+
+def duck_exact_dups_sql(docs_rel: str = "documents") -> str:
+    return f"""
+        WITH {DUCK_DUP_CORPUS.format(docs_rel=docs_rel)}
+        SELECT md5(text) AS digest,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM dup_corpus GROUP BY md5(text) HAVING count(*) > 1
+    """
+
+
+def duck_brute_force_near_dups_sql(
+    docs_rel: str = "documents", threshold: float = 0.5, k: int = 3
+) -> str:
+    """Ground-truth near-dup pairs by exhaustive shingle Jaccard — the
+    oracle the LSH path must reproduce."""
+    toks = "string_split(trim(text), ' ')"
+    shingle = (
+        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {k}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')))"
+    )
+    return f"""
+        WITH {DUCK_DUP_CORPUS.format(docs_rel=docs_rel)},
+        sh AS (SELECT doc_id, {shingle} AS s FROM dup_corpus)
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+               CAST(b.doc_id AS BIGINT) AS doc_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))), 6)
+              >= {threshold}
+    """

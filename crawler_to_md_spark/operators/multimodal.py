@@ -1,0 +1,136 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with the
+Spark-side plumbing (schema, partitioning, Arrow batch shape) fully real
+and the codec layer stubbed.
+
+A crawl at 100 TB carries images/audio/video as ``binary`` columns next to
+the text spans (the corpus span model already carries ``media_ref``s; this
+module is the fetch-side of those refs).  The container has no image/audio
+libraries, so ``decode_image``'s real path raises NotImplementedError and
+a clearly-marked deterministic fake produces fixed-shape features — the
+UDF signatures, schemas and ``mapInPandas`` batch handling are exactly
+what a real codec drops into.
+
+Payloads here are synthesized deterministically from the documents table
+(utf-8 text bytes as stand-in blobs) so sizes and checksums have exact
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Synthesize the media table: (doc_id, media_type, payload binary,
+    meta map).  media_type cycles deterministically; payload = utf-8 bytes
+    of the text (stand-in blob with an oracle-computable length)."""
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        mt.alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"),
+            F.lit("lang"), F.col("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, real: bool = False) -> tuple[int, int, list[float]]:
+    """STUB: the real decoder needs an image library absent from this
+    container.  ``real=True`` raises; the deterministic fake derives a
+    (width, height) and a 4-value luma-like feature vector from payload
+    bytes — fixed output shape, same contract as a real decode."""
+    if real:
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. Pillow) not "
+            "available in this environment; wire it in here"
+        )
+    n = len(payload)
+    width = 16 + n % 16
+    height = 16 + (n // 16) % 16
+    step = max(1, n // 4)
+    feats = [payload[min(i * step, n - 1)] / 255.0 for i in range(4)]
+    return width, height, feats
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction — Arrow batches in, Arrow batches
+    out; one decode call per row inside a vectorized batch loop.  This is
+    the exact production shape: swap ``decode_image`` for a real codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, feats = [], [], []
+            for payload in pdf["payload"]:
+                w, h, f = decode_image(bytes(payload))
+                widths.append(w)
+                heights.append(h)
+                feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "width": widths,
+                    "height": heights,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=("doc_id long, media_type string, n_bytes long, "
+                "width int, height int, features array<float>"),
+    )
+
+
+def media_stats(docs: DataFrame) -> DataFrame:
+    """Per-type payload accounting — native, oracle-checkable."""
+    m = media_table(docs)
+    return m.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.octet_length(F.col("payload"))).cast("long").alias("total_bytes"),
+        F.max(F.octet_length(F.col("payload"))).cast("long").alias("max_bytes"),
+    )
+
+
+def duck_media_stats_sql(docs_rel: str = "documents") -> str:
+    return f"""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM {docs_rel}
+        GROUP BY 1
+    """

@@ -41,12 +41,10 @@ def resolve_candidates(raw: DataFrame, assume_no_dot_segments: bool = False
     plan) when the caller knows hrefs are dot-free — e.g. the synthetic
     corpus; a real-HTML deployment leaves it False."""
     if assume_no_dot_segments:
-        return raw.withColumn(
-            "resolved", urlkit.resolve_href(F.col("page_url"), F.col("href"))
-        )
+        return urlkit.with_resolved_href(raw, "page_url", "href")
     dotty = F.col("href").rlike(_DOT_SEGMENT)
-    return raw.filter(~dotty).withColumn(
-        "resolved", urlkit.resolve_href(F.col("page_url"), F.col("href"))
+    return urlkit.with_resolved_href(
+        raw.filter(~dotty), "page_url", "href"
     ).unionByName(
         raw.filter(dotty).withColumn(
             "resolved", urlkit.resolve_href_udf(F.col("page_url"), F.col("href"))
@@ -63,7 +61,14 @@ def validate_candidates(
     robots: DataFrame | None = None,
 ) -> DataFrame:
     """Canonicalize + P1-P5 validation + robots gate."""
-    canon = resolved.withColumn("url", urlkit.canonicalize(F.col("resolved")))
+    canon = urlkit.with_canonical_url(resolved, "resolved", "url")
+    # This filter MUST evaluate here, above the staged url projection —
+    # if the optimizer's PushDownPredicates rule were active it would
+    # substitute it down through the projections, DAG-unfolding the whole
+    # resolve+canonicalize chain into one giant predicate (observed: 29 MB
+    # of generated Java -> Janino 64 KB method limit -> interpreted hot
+    # path).  The engine session excludes that rule (see session.py);
+    # filters in this codebase are hand-placed where they should run.
     valid = canon.filter(
         urlkit.is_valid_link(
             F.col("url"),

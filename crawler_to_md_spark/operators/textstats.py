@@ -1,0 +1,179 @@
+"""Text analysis for training-data pipelines: token counts, quality
+scores, language-ID heuristic, document fingerprints.
+
+All native Spark SQL expressions (whole-stage codegen; no Python in the
+hot path).  Every function has an exact DuckDB-SQL twin used by the
+driver's oracle harness; hash material is md5 hex prefixes (identical
+byte-for-byte in Spark and DuckDB) so fingerprints compare exactly.
+
+These generalize the reference's document handling (it stores raw markdown
+TEXT and computes nothing over it) to the corpus-curation operations a
+100 TB crawl feeds: filtering by quality/language and near-dup removal are
+the first stages after extraction in any web-scale training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword lists for the language heuristic — scoring is
+# hit-count per list; the winner is the guess (ties -> lexicographic first)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "es"],
+}
+
+EN_STOPWORDS = STOPWORDS["en"]
+
+# word-or-single-punct tokenization, BPE-ish granularity: identical regex
+# accepted by Java (Spark rlike/regexp_count) and RE2-style DuckDB
+BPE_TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (documents are single-spaced)."""
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alnum runs + individual punct marks."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens(F.lower(text)), lambda t: F.array_contains(lst, t))
+    ).cast("long")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword features for quality filtering."""
+    n_chars = F.length(text).cast("long")
+    n_tok = token_count(text)
+    punct = F.regexp_count(text, F.lit("[^A-Za-z0-9 ]")).cast("long")
+    stop = stopword_hits(text, EN_STOPWORDS)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": F.round((n_chars - n_tok + 1) / n_tok.cast("double"), 6),
+        "punct_ratio": F.round(punct / n_chars.cast("double"), 6),
+        "stopword_ratio": F.round(stop / n_tok.cast("double"), 6),
+    }
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax stopword-hit language guess (n-gram-free heuristic; ties ->
+    first language in sorted order)."""
+    guess = None
+    best = None
+    for lang in sorted(STOPWORDS):
+        hits = stopword_hits(text, STOPWORDS[lang])
+        if guess is None:
+            guess, best = F.lit(lang), hits
+        else:
+            guess = F.when(hits > best, F.lit(lang)).otherwise(guess)
+            best = F.when(hits > best, hits).otherwise(best)
+    return guess
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles, each rendered as a space-joined string."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def fingerprint(text: Column, k: int = 3, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint: the ``keep`` lexicographically
+    smallest md5-prefixes of the k-word shingles, joined.  Equal for equal
+    token streams, robust to formatting; md5 hex compares identically in
+    Spark and DuckDB."""
+    hashes = F.transform(shingles(text, k), lambda s: F.substring(F.md5(s), 1, 16))
+    return F.array_join(F.slice(F.array_sort(hashes), 1, keep), "|")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with the full feature set."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in feats.items()],
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        lang_guess(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (oracle SQL fragments; {t} = text expression)
+# ---------------------------------------------------------------------------
+
+DUCK_TOKENS = "string_split(trim({t}), ' ')"
+DUCK_TOKEN_COUNT = f"CAST(len({DUCK_TOKENS}) AS BIGINT)"
+DUCK_BPE_COUNT = (
+    "CAST(len(regexp_extract_all({t}, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)"
+)
+DUCK_PUNCT = "CAST(len(regexp_extract_all({t}, '[^A-Za-z0-9 ]')) AS BIGINT)"
+
+
+def duck_stop_hits(t: str, words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CAST(len(list_filter(string_split(trim(lower({t})), ' '), "
+        f"x -> list_contains({lst}, x))) AS BIGINT)"
+    )
+
+
+def duck_lang_guess(t: str) -> str:
+    langs = sorted(STOPWORDS)
+    expr = f"'{langs[0]}'"
+    best = duck_stop_hits(t, STOPWORDS[langs[0]])
+    for lang in langs[1:]:
+        hits = duck_stop_hits(t, STOPWORDS[lang])
+        expr = f"CASE WHEN {hits} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {hits} > {best} THEN {hits} ELSE {best} END"
+    return expr
+
+
+def duck_fingerprint(t: str, k: int = 3, keep: int = 4) -> str:
+    toks = DUCK_TOKENS.format(t=t)
+    shingle = (
+        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {k}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')))"
+    )
+    hashes = f"list_transform({shingle}, s -> substr(md5(s), 1, 16))"
+    return f"array_to_string(list_slice(list_sort({hashes}), 1, {keep}), '|')"
+
+
+def duck_text_stats_sql(docs_rel: str = "documents") -> str:
+    t = "text"
+    stop = duck_stop_hits(t, EN_STOPWORDS)
+    ntok = DUCK_TOKEN_COUNT.format(t=t)
+    return f"""
+        SELECT doc_id,
+               CAST(length({t}) AS BIGINT) AS n_chars,
+               {ntok} AS n_tokens,
+               round((length({t}) - {ntok} + 1) / CAST({ntok} AS DOUBLE), 6)
+                   AS mean_token_len,
+               round({DUCK_PUNCT.format(t=t)} / CAST(length({t}) AS DOUBLE), 6)
+                   AS punct_ratio,
+               round({stop} / CAST({ntok} AS DOUBLE), 6) AS stopword_ratio,
+               {DUCK_BPE_COUNT.format(t=t)} AS n_bpe_tokens,
+               {duck_lang_guess(t)} AS lang_guess,
+               {duck_fingerprint(t)} AS fingerprint
+        FROM {docs_rel}
+    """

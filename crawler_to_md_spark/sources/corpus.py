@@ -196,8 +196,14 @@ def synth_corpus(
 
 def _corpus_from_docs(docs: DataFrame, replicas: int, p_total: int) -> DataFrame:
     g = "page_id"
+    # documents.parquet is a single file -> a single scan partition; fan the
+    # rows out BEFORE the explode or every downstream narrow stage (span
+    # construction, regex canonicalization, extraction UDFs) runs in one
+    # task no matter how many cores the session has
+    par = docs.sparkSession.sparkContext.defaultParallelism
     pages = (
         docs.select("doc_id", "text")
+        .repartition(par)
         .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
         .selectExpr(f"doc_id * {replicas} + r AS page_id", "text")
     )

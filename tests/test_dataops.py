@@ -1,0 +1,179 @@
+"""Training-data pipeline operators: text stats, dedup, similarity,
+multimodal — Spark vs DuckDB twins + planted-duplicate ground truth."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')")
+    return con
+
+
+def _cmp(sdf, duck_rel, sort_cols):
+    s = sorted(tuple(r) for r in sdf.select(*sort_cols).collect())
+    d = sorted(tuple(r) for r in duck_rel.fetchall())
+    assert len(s) == len(d), (len(s), len(d))
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, mismatches[:3]
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats_match_duckdb(spark, docs, duck):
+    sdf = textstats.text_stats(docs)
+    cols = ["doc_id", "n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+            "stopword_ratio", "n_bpe_tokens", "lang_guess", "fingerprint"]
+    rel = duck.sql(
+        f"SELECT {', '.join(cols)} FROM ({textstats.duck_text_stats_sql()})"
+    )
+    _cmp(sdf, rel, cols)
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in
+           df.select(textstats.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] and fps[0].count("|") == 3
+
+
+def test_lang_guess_english_dominates(docs):
+    # driver documents are English-ish word soup with 'the'/'and' present
+    guesses = textstats.text_stats(docs).groupBy("lang_guess").count().collect()
+    top = max(guesses, key=lambda r: r["count"])
+    assert top["lang_guess"] == "en"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_matches_duckdb(spark, docs, duck):
+    sdf = dedup.exact_dup_groups(dedup.dup_corpus(docs))
+    rel = duck.sql(dedup.duck_exact_dups_sql())
+    _cmp(sdf, rel, ["digest", "n_copies", "keeper_doc_id"])
+
+
+def test_exact_dedup_finds_planted_copies(docs):
+    groups = dedup.exact_dup_groups(dedup.dup_corpus(docs)).collect()
+    n_planted = docs.filter(f"doc_id % {dedup.DUP_EXACT_MOD} = 0").count()
+    # every planted exact copy forms one group of 2 (unless base texts
+    # collide, which the >= covers)
+    assert len(groups) >= n_planted * 9 // 10
+    assert all(g["n_copies"] >= 2 for g in groups)
+
+
+def test_minhash_lsh_equals_brute_force(spark, docs, duck):
+    """LSH + exact verification must reproduce the exhaustive-Jaccard
+    ground truth on the planted corpus (FP impossible by construction,
+    FN negligible at the planted similarity level)."""
+    sdf = dedup.minhash_near_dups(dedup.dup_corpus(docs), threshold=0.5)
+    rel = duck.sql(dedup.duck_brute_force_near_dups_sql(threshold=0.5))
+    _cmp(sdf, rel, ["doc_a", "doc_b", "jaccard"])
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = dedup.minhash_near_dups(dedup.dup_corpus(docs)).collect()
+    near_ids = {r["doc_id"] for r in
+                docs.filter(f"doc_id % {dedup.DUP_NEAR_MOD} = 0").collect()}
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    missing = [g for g in near_ids if (g, g + 2_000_000) not in found]
+    assert not missing, f"planted near-dups missed: {missing[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_topk_matches_duckdb(spark, emb, duck):
+    sdf = similarity.brute_force_topk(emb, n_queries=6, k=8)
+    rel = duck.sql(similarity.duck_brute_force_topk_sql(n_queries=6, k=8))
+    _cmp(sdf, rel, ["query_id", "neighbor_id", "rank", "cos"])
+
+
+def test_ivf_topk_matches_duckdb(spark, emb, duck):
+    sdf = similarity.ivf_topk(emb, n_queries=6, k=8, n_centroids=16)
+    rel = duck.sql(similarity.duck_ivf_topk_sql(n_queries=6, k=8, n_centroids=16))
+    _cmp(sdf, rel, ["query_id", "neighbor_id", "rank", "cos"])
+
+
+def test_ivf_recall_against_brute_force(spark, emb):
+    bf = similarity.brute_force_topk(emb, n_queries=6, k=8).collect()
+    ivf = similarity.ivf_topk(emb, n_queries=6, k=8, n_centroids=8).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.2, recall  # bucketed search trades recall for speed
+
+
+def test_simhash_sketch_near_pairs(spark, emb):
+    """A vector and a tiny perturbation of itself must collide in sketch
+    space; unrelated vectors almost never do at hamming <= 3."""
+    dim = len(emb.first()["embedding"])
+    eps = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.000001)
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(eps)
+    pairs = similarity.simhash_near_pairs(both, dim, max_hamming=3).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    hits = sum((v, v + 100000) in found for v in range(20))
+    assert hits == 20, f"only {hits}/20 perturbed twins collided"
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_media_stats_match_duckdb(spark, docs, duck):
+    sdf = multimodal.media_stats(docs)
+    rel = duck.sql(multimodal.duck_media_stats_sql())
+    _cmp(sdf, rel, ["media_type", "n_media", "total_bytes", "max_bytes"])
+
+
+def test_media_feature_extraction_shape(spark, docs):
+    media = multimodal.media_table(docs.limit(50))
+    feats = multimodal.extract_media_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert 16 <= r["width"] < 32 and 16 <= r["height"] < 32
+        assert len(r["features"]) == 4
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+
+
+def test_decode_image_real_path_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...", real=True)
