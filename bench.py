@@ -291,8 +291,9 @@ def scaling_report(sf_dir: str, lo: str = "2", hi: str = "8",
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", choices=sorted(STAGES))
-    ap.add_argument("--scaling", action="store_true",
-                    help="also run q_schedule at local[8] and local[32]")
+    ap.add_argument("--scaling", action="store_true", default=True,
+                    help="run the N->4N scaling children (default on)")
+    ap.add_argument("--no-scaling", dest="scaling", action="store_false")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
