@@ -270,18 +270,24 @@ def _q_embedding_topk(spark, sf_dir):
 
 
 def _q_embedding_ivf_topk(spark, sf_dir):
+    """IVF with multi-probe (n_probe=2) over the SQL-expressible seed
+    centroids; the production quality path swaps in
+    similarity.kmeans_centroids (pytest-gated — recall >= 0.7 vs brute
+    force — because deterministic k-means has no robust SQL twin)."""
     return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=8, k=10,
-                               n_centroids=16)
+                               n_centroids=16, n_probe=2)
+
+
+EMB_DIM = 64  # driver embeddings.parquet dim at every sf
 
 
 def _q_simhash_near_pairs(spark, sf_dir):
-    """Embedding near-dup via sign-projection sketches.  No SQL oracle —
-    banded hamming LSH is not reasonably SQL-expressible; the driver
-    records a rows-only check and pytest covers the semantics
-    (tests/test_dataops.py::test_simhash_sketch_near_pairs)."""
-    emb = _emb(spark, sf_dir)
-    dim = len(emb.first()["embedding"])
-    return similarity.simhash_near_pairs(emb, dim, max_hamming=8)
+    """Embedding near-dup via sign-projection sketches.  Banded pigeonhole
+    LSH (9 bands for r=8 — bands >= r+1 guarantees candidate recall) +
+    exact hamming filter, so the result EQUALS the brute-force XOR+popcount
+    oracle (similarity.duck_simhash_near_pairs_sql)."""
+    return similarity.simhash_near_pairs(_emb(spark, sf_dir), EMB_DIM,
+                                         max_hamming=8)
 
 
 def _q_media_stats(spark, sf_dir):
@@ -290,9 +296,11 @@ def _q_media_stats(spark, sf_dir):
 
 def _q_media_features(spark, sf_dir):
     """Multimodal feature extraction through the mapInPandas plumbing
-    (deterministic stub decode — see operators/multimodal.py).  Decode
-    internals have no SQL twin; n_bytes does, so the driver's rows-only
-    check is backed by the media_stats oracle next to it."""
+    (deterministic stub decode — see operators/multimodal.py).  The stub's
+    width/height are arithmetic over octet_length, so the whole exported
+    projection has an exact DuckDB oracle
+    (multimodal.duck_media_features_sql); only the 4-float feature vector
+    — the genuinely codec-dependent part — is left out of the compare."""
     m = multimodal.media_table(_docs(spark, sf_dir))
     return multimodal.extract_media_features(m).select(
         "doc_id", "media_type", "n_bytes", "width", "height")
@@ -481,9 +489,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": dedup.duck_brute_force_near_dups_sql(threshold=0.5),
         "embedding_topk": similarity.duck_brute_force_topk_sql(n_queries=8, k=10),
         "embedding_ivf_topk": similarity.duck_ivf_topk_sql(
-            n_queries=8, k=10, n_centroids=16),
-        # simhash_near_pairs / media_features: intentionally no oracle
-        # (banded hamming LSH and the stub decoder are not SQL-expressible;
-        # rows-only check + pytest semantics coverage)
+            n_queries=8, k=10, n_centroids=16, n_probe=2),
+        "simhash_near_pairs": similarity.duck_simhash_near_pairs_sql(
+            EMB_DIM, max_hamming=8),
         "media_stats": multimodal.duck_media_stats_sql(),
+        "media_features": multimodal.duck_media_features_sql(),
     }

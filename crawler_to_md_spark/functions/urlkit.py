@@ -341,6 +341,29 @@ def is_valid_link(
 # --------------------------------------------------------------------------
 
 
+def has_dot_segment(href: Column) -> Column:
+    """True iff the href contains an RFC-3986 dot segment — ``.`` or ``..``
+    as a COMPLETE path segment — the only relative shapes the native
+    resolver cannot handle (they need path normalization, reference
+    scraper.py:203 via urljoin).
+
+    This is the single routing predicate: :func:`resolve_href` NULLs
+    exactly these hrefs and ``operators/schedule.resolve_candidates``
+    routes exactly these to :func:`resolve_href_udf`, so the symmetric
+    difference between "routed to UDF" and "native NULL fallback" is
+    empty.  Hrefs with a ``.`` adjacent to ``/`` that is NOT a dot segment
+    (``v1.2./spec``, ``a.b./c``, ``?next=./x``) resolve natively instead
+    of being silently dropped.  String ops only — no per-href regex in the
+    hot path.
+    """
+    return (
+        (href == F.lit(".")) | (href == F.lit(".."))
+        | href.startswith("./") | href.startswith("../")
+        | href.endswith("/.") | href.endswith("/..")
+        | href.contains("/./") | href.contains("/../")
+    )
+
+
 def url_dirname_expr(url: Column) -> Column:
     """Directory of a URL: drop the last path segment, ensure trailing '/'
     (reference utils.py:58-90). Query/params are dropped like urlunparse
@@ -403,14 +426,16 @@ def with_resolved_href(df, page_col: str, href_col: str, out_col: str = "resolve
     has_scheme = h.contains(":") & _valid_scheme(
         F.lower(F.substring_index(h, ":", 1))
     )
+    origin = F.concat(F.col("__psch"), F.lit("://"), F.col("__pnl"))
     resolved = (
-        F.when(h.contains("./"), F.lit(None).cast("string"))
+        F.when(has_dot_segment(h), F.lit(None).cast("string"))
         .when(has_scheme, h)
         .when(h.startswith("//"), F.concat(F.col("__psch"), F.lit(":"), h))
-        .when(
-            h.startswith("/"),
-            F.concat(F.col("__psch"), F.lit("://"), F.col("__pnl"), h),
-        )
+        .when(h.startswith("/"), F.concat(origin, h))
+        # query-only: replace the page's query, keep its path (urljoin)
+        .when(h.startswith("?"), F.concat(origin, F.col("__ppath"), h))
+        # fragment-only: the page itself (urljoin + defrag)
+        .when(h.startswith("#"), defrag(page))
         .when(h == F.lit(""), page)
         .otherwise(F.concat(F.col("__pdir"), h))
     )
@@ -422,10 +447,11 @@ def resolve_href(page_url: Column, href: Column) -> Column:
     (reference scraper.py:203).
 
     Handles: absolute URLs, protocol-relative ``//host/p``, root-relative
-    ``/p``, and plain relative ``p`` (resolved against the page directory).
-    Dot-segments (``../``) fall back to NULL here and are handled by the
-    pandas-UDF path; the engine routes hrefs containing ``../`` or ``./``
-    through :func:`resolve_links_udf`.
+    ``/p``, query-only ``?q=1``, fragment-only ``#sec``, and plain relative
+    ``p`` (resolved against the page directory).  True dot-segment hrefs
+    (:func:`has_dot_segment`) fall back to NULL here and are handled by
+    the pandas-UDF path; ``operators/schedule.resolve_candidates`` routes
+    exactly those through :func:`resolve_href_udf`.
     """
     href_t = F.trim(href)
     page_scheme = url_scheme(page_url)
@@ -436,11 +462,12 @@ def resolve_href(page_url: Column, href: Column) -> Column:
         F.lower(F.substring_index(href_t, ":", 1))
     )
     return (
-        # "./" catches both "./x" and "../x" anywhere in the href
-        F.when(href_t.contains("./"), F.lit(None).cast("string"))
+        F.when(has_dot_segment(href_t), F.lit(None).cast("string"))
         .when(has_scheme, href_t)
         .when(href_t.startswith("//"), F.concat(page_scheme, F.lit(":"), href_t))
         .when(href_t.startswith("/"), F.concat(origin, href_t))
+        .when(href_t.startswith("?"), F.concat(origin, url_path(page_url), href_t))
+        .when(href_t.startswith("#"), defrag(page_url))
         .when(href_t == F.lit(""), page_url)
         .otherwise(F.concat(url_dirname_expr(page_url), href_t))
     )

@@ -22,6 +22,9 @@ bucket sizes stay bounded because identical band hashes imply
 near-identical shingle prefixes; pathological buckets (boilerplate) are
 capped with a per-bucket limit before pairing (``max_bucket`` below),
 which is also what production LSH dedup does to bound quadratic blowup.
+Only (doc_id, band, band_hash) rides the band explode and self-join —
+document text is joined back per doc_id for the surviving candidate
+pairs only, so the corpus never ships 8x through a shuffle.
 """
 
 from __future__ import annotations
@@ -99,13 +102,17 @@ def minhash_near_dups(
     max_bucket: int = 50,
 ) -> DataFrame:
     """Verified near-duplicate pairs (doc_a < doc_b, exact jaccard)."""
-    sig = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col(text_col).alias("__text"),
-        minhash_signature(F.col(text_col)).alias("sig"),
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col(text_col))
+    sig = ids.select(
+        "doc_id", minhash_signature(F.col(text_col)).alias("sig"),
     )
+    # ids only through the 8x band explode + self-join: at corpus scale the
+    # band shuffle then moves (doc_id, 16-byte band hash) rows, not 8 copies
+    # of every document's text — text is joined back below for the tiny
+    # surviving candidate-pair set only (round-1 scale flaw fixed)
     bands = sig.select(
-        "doc_id", "__text",
+        "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(BANDS - 1)),
@@ -124,7 +131,7 @@ def minhash_near_dups(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "__text", "bb.band", "bb.bh")
+    ).select("doc_id", "bb.band", "bb.bh")
     # cap pathological buckets (boilerplate) to bound the quadratic join
     from pyspark.sql import Window
 
@@ -133,19 +140,21 @@ def minhash_near_dups(
         F.col("__rn") <= max_bucket
     ).drop("__rn")
 
-    a = bands.select(
-        F.col("band").alias("band"), F.col("bh").alias("bh"),
-        F.col("doc_id").alias("doc_a"), F.col("__text").alias("text_a"),
-    )
-    b = bands.select(
-        F.col("band").alias("band"), F.col("bh").alias("bh"),
-        F.col("doc_id").alias("doc_b"), F.col("__text").alias("text_b"),
-    )
+    a = bands.select("band", "bh", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "bh", F.col("doc_id").alias("doc_b"))
     pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "text_a", "text_b")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    pairs = (
+        pairs.join(
+            ids.select(F.col("doc_id").alias("doc_a"),
+                       F.col(text_col).alias("text_a")), "doc_a")
+        .join(
+            ids.select(F.col("doc_id").alias("doc_b"),
+                       F.col(text_col).alias("text_b")), "doc_b")
     )
     sh_a, sh_b = shingles(F.col("text_a")), shingles(F.col("text_b"))
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")

@@ -77,6 +77,9 @@ def decode_image(payload: bytes, real: bool = False) -> tuple[int, int, list[flo
     n = len(payload)
     width = 16 + n % 16
     height = 16 + (n // 16) % 16
+    if n == 0:
+        # empty blob: fixed-shape zero features (no payload[-1] underflow)
+        return width, height, [0.0, 0.0, 0.0, 0.0]
     step = max(1, n // 4)
     feats = [payload[min(i * step, n - 1)] / 255.0 for i in range(4)]
     return width, height, feats
@@ -91,7 +94,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             widths, heights, feats = [], [], []
             for payload in pdf["payload"]:
-                w, h, f = decode_image(bytes(payload))
+                w, h, f = decode_image(b"" if payload is None else bytes(payload))
                 widths.append(w)
                 heights.append(h)
                 feats.append(f)
@@ -99,7 +102,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(len),
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)),
                     "width": widths,
                     "height": heights,
                     "features": feats,
@@ -121,6 +125,24 @@ def media_stats(docs: DataFrame) -> DataFrame:
         F.sum(F.octet_length(F.col("payload"))).cast("long").alias("total_bytes"),
         F.max(F.octet_length(F.col("payload"))).cast("long").alias("max_bytes"),
     )
+
+
+def duck_media_features_sql(docs_rel: str = "documents") -> str:
+    """Oracle for the stub decoder's geometry: width/height are pure
+    arithmetic over octet_length (decode_image), so the mapInPandas
+    plumbing is fully checkable even though the 4-float feature vector
+    (the only genuinely codec-dependent output) is not exported here."""
+    n = "octet_length(encode(text))"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST({n} AS BIGINT) AS n_bytes,
+               CAST(16 + {n} % 16 AS INT) AS width,
+               CAST(16 + ({n} // 16) % 16 AS INT) AS height
+        FROM {docs_rel}
+    """
 
 
 def duck_media_stats_sql(docs_rel: str = "documents") -> str:

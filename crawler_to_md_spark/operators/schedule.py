@@ -29,20 +29,21 @@ from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.bloom import BloomShards
 from crawler_to_md_spark.operators.politeness import robots_filter
 
-_DOT_SEGMENT = r"(^|/)\.\.?(/|$)"
-
 
 def resolve_candidates(raw: DataFrame, assume_no_dot_segments: bool = False
                        ) -> DataFrame:
     """Resolve ``href`` against ``page_url``.  Common shapes resolve
-    natively; dot-segment hrefs take the vectorized-urljoin branch.
+    natively; dot-segment hrefs take the vectorized-urljoin branch.  The
+    router predicate is :func:`urlkit.has_dot_segment` — the SAME guard
+    the native resolver NULLs on, so no href can fall between the two
+    paths and be silently dropped.
 
     ``assume_no_dot_segments`` skips the UDF branch entirely (pure JVM
     plan) when the caller knows hrefs are dot-free — e.g. the synthetic
     corpus; a real-HTML deployment leaves it False."""
     if assume_no_dot_segments:
         return urlkit.with_resolved_href(raw, "page_url", "href")
-    dotty = F.col("href").rlike(_DOT_SEGMENT)
+    dotty = urlkit.has_dot_segment(F.trim(F.col("href")))
     return urlkit.with_resolved_href(
         raw.filter(~dotty), "page_url", "href"
     ).unionByName(

@@ -73,25 +73,82 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
-    """Assign every vector to its argmax-cosine centroid (bucket)."""
-    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+def seed_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic seed centroids: the first ``n_centroids`` vec_ids.
+    SQL-expressible (the oracle mirrors it) and the k-means init point."""
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").cast("long").alias("centroid_id"),
         _vec("embedding").alias("cvec"),
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 5
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column.
+
+    Init = first ``n_centroids`` vectors (no randomness); each iteration is
+    one distributed assignment (broadcast C-way argmax-cosine) plus an
+    element-wise mean per bucket (posexplode -> groupBy(centroid, dim) avg).
+    Only the C x dim centroid matrix ever reaches the driver — the
+    assignment and the mean both scale with the corpus.  Quality path for
+    production IVF; the oracle-gated entry query uses
+    :func:`seed_centroids` + multi-probe instead (k-means is not reasonably
+    SQL-expressible, and fp summation order would make a SQL twin flaky).
+    """
+    spark = embeddings.sparkSession
     vecs = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _vec("embedding").alias("vec"),
     )
+    centroids = seed_centroids(embeddings, n_centroids)
+    for _ in range(iters):
+        assigned = _rank_centroids(vecs, centroids).filter("cr = 1")
+        means = (
+            assigned.select("centroid_id", F.posexplode("vec"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("centroid_id",
+                    F.col("pm.m").alias("cvec"))
+            .collect()
+        )
+        centroids = spark.createDataFrame(
+            [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in means],
+            "centroid_id long, cvec array<double>",
+        )
+    return centroids
+
+
+def _rank_centroids(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, vec, centroid_id, cr): centroids ranked by cosine per vec."""
     scored = vecs.join(F.broadcast(centroids)).withColumn(
-        "cos", cosine(F.col("cvec"), F.col("vec"))
+        "ccos", cosine(F.col("cvec"), F.col("vec"))
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id")
+        F.col("ccos").desc(), F.col("centroid_id")
     )
+    return scored.withColumn("cr", F.row_number().over(w)).select(
+        "vec_id", "vec", "centroid_id", "cr"
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine centroid (bucket)."""
+    vecs = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _vec("embedding").alias("vec"),
+    )
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_centroids)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        _rank_centroids(vecs, centroids)
+        .filter("cr = 1")
         .select("vec_id", "centroid_id", "vec")
     )
 
@@ -101,17 +158,28 @@ def ivf_topk(
     n_queries: int = 8,
     k: int = 10,
     n_centroids: int = 16,
+    n_probe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's own IVF bucket."""
-    assigned = ivf_assign(embeddings, n_centroids)
-    corpus = assigned.select(
+    """Approximate top-k: a query searches its ``n_probe`` nearest IVF
+    buckets (multi-probe recovers most of the recall a single probe loses
+    at bucket boundaries; cost is O(Q * n_probe * N/C * d)).  Pass
+    ``centroids=kmeans_centroids(...)`` for the quality path."""
+    vecs = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _vec("embedding").alias("vec"),
+    )
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_centroids)
+    ranked = _rank_centroids(vecs, centroids)
+    corpus = ranked.filter("cr = 1").select(
         F.col("vec_id").alias("neighbor_id"), "centroid_id",
         F.col("vec").alias("nvec"),
     )
-    queries = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "centroid_id",
-        F.col("vec").alias("qvec"),
-    )
+    queries = ranked.filter(
+        (F.col("cr") <= n_probe) & (F.col("vec_id") < n_queries)
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id",
+             F.col("vec").alias("qvec"))
     scored = (
         corpus.join(F.broadcast(queries), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -177,13 +245,41 @@ def simhash_sketch(embeddings: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def simhash_near_pairs(embeddings: DataFrame, dim: int, max_hamming: int = 3
-                       ) -> DataFrame:
-    """Pairs whose sketches differ in <= max_hamming bits.  Pair generation
-    is banded on sketch prefixes (two 16-bit halves: a pair within hamming
-    r < 16 shares at least one exact half... only guaranteed for r <= 1 per
-    half split; with 4 bands of 8 bits, any pair with hamming <= 3 shares
-    >= 1 exact band) — the standard pigeonhole LSH for hamming space."""
+def _band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band: ``bits`` split into ``n_bands`` contiguous
+    chunks, widths differing by at most 1."""
+    base, extra = divmod(bits, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def simhash_near_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """EXACT pairs whose sketches differ in <= max_hamming bits.
+
+    Pair generation is pigeonhole-banded LSH for hamming space: with
+    ``n_bands >= max_hamming + 1`` bands, a pair with <= max_hamming
+    differing bits must share at least one band exactly, so banding
+    generates a guaranteed superset of the answer and the exact
+    ``bit_count(xor)`` filter makes the result identical to brute force
+    (verified against a DuckDB XOR+popcount oracle,
+    :func:`duck_simhash_near_pairs_sql`).  Default band count is
+    ``max_hamming + 1`` — the round-1 fixed-4-band layout silently missed
+    hamming-4..8 pairs when called with ``max_hamming=8``."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need >= {max_hamming + 1}")
     sk = simhash_sketch(embeddings, dim)
     bands = sk.select(
         "vec_id", "sketch",
@@ -191,10 +287,11 @@ def simhash_near_pairs(embeddings: DataFrame, dim: int, max_hamming: int = 3
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("sketch"), i * 8)
-                    .bitwiseAND(F.lit(255)).alias("key"),
+                    F.shiftrightunsigned(F.col("sketch"), off)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
                 )
-                for i in range(4)
+                for i, (off, width) in enumerate(
+                    _band_layout(SIMHASH_BITS, n_bands))
             ])
         ).alias("bb"),
     ).select("vec_id", "sketch", "bb.band", "bb.key")
@@ -242,21 +339,54 @@ def duck_brute_force_topk_sql(
     """
 
 
+def duck_simhash_near_pairs_sql(
+    dim: int, max_hamming: int = 3, emb_rel: str = "embeddings"
+) -> str:
+    """Brute-force XOR+popcount oracle for :func:`simhash_near_pairs`:
+    sketches recomputed in SQL from the same hyperplanes (inlined as
+    literals), then EVERY pair checked exactly — no LSH — so agreement
+    proves the banded path loses nothing."""
+    planes = _hyperplanes(dim)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(v) for v in plane)}]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    return f"""
+        WITH sk AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST({bit_terms} AS BIGINT) AS sketch
+            FROM {emb_rel}
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(bit_count(xor(a.sketch, b.sketch)) AS BIGINT) AS hamming
+        FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.sketch, b.sketch)) <= {max_hamming}
+    """
+
+
 def duck_ivf_topk_sql(
     emb_rel: str = "embeddings", n_queries: int = 8, k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int = 16, n_probe: int = 1,
 ) -> str:
+    """Oracle twin of :func:`ivf_topk` with :func:`seed_centroids`:
+    corpus vectors live in their argmax bucket; a query probes its
+    ``n_probe`` best buckets."""
     return f"""
-        WITH assigned AS (
-            SELECT v.vec_id, v.embedding,
-                   (SELECT c.vec_id FROM {emb_rel} c
-                    WHERE c.vec_id < {n_centroids}
-                    ORDER BY list_cosine_similarity(
-                        CAST(c.embedding AS DOUBLE[]),
-                        CAST(v.embedding AS DOUBLE[])) DESC, c.vec_id
-                    LIMIT 1) AS centroid_id
+        WITH ranked AS (
+            SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(v.embedding AS DOUBLE[])) DESC, c.vec_id
+                   ) AS cr
             FROM {emb_rel} v
-        )
+            JOIN {emb_rel} c ON c.vec_id < {n_centroids}
+        ),
+        assigned AS (SELECT * FROM ranked WHERE cr = 1),
+        probes AS (SELECT * FROM ranked
+                   WHERE cr <= {n_probe} AND vec_id < {n_queries})
         SELECT CAST(q.vec_id AS BIGINT) AS query_id,
                CAST(c.vec_id AS BIGINT) AS neighbor_id,
                CAST(row_number() OVER (
@@ -268,7 +398,7 @@ def duck_ivf_topk_sql(
                round(list_cosine_similarity(
                    CAST(q.embedding AS DOUBLE[]),
                    CAST(c.embedding AS DOUBLE[])), 6) AS cos
-        FROM assigned q
+        FROM probes q
         JOIN assigned c ON q.centroid_id = c.centroid_id
                         AND q.vec_id != c.vec_id
         WHERE q.vec_id < {n_queries}

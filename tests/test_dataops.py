@@ -126,13 +126,30 @@ def test_ivf_topk_matches_duckdb(spark, emb, duck):
     _cmp(sdf, rel, ["query_id", "neighbor_id", "rank", "cos"])
 
 
-def test_ivf_recall_against_brute_force(spark, emb):
+def test_ivf_multiprobe_matches_duckdb(spark, emb, duck):
+    sdf = similarity.ivf_topk(emb, n_queries=6, k=8, n_centroids=16, n_probe=2)
+    rel = duck.sql(similarity.duck_ivf_topk_sql(
+        n_queries=6, k=8, n_centroids=16, n_probe=2))
+    _cmp(sdf, rel, ["query_id", "neighbor_id", "rank", "cos"])
+
+
+def test_kmeans_ivf_recall_against_brute_force(spark, emb):
+    """Quality bar for the production path: deterministic k-means
+    centroids + 2-probe search recovers >= 0.7 of the exact top-k."""
     bf = similarity.brute_force_topk(emb, n_queries=6, k=8).collect()
-    ivf = similarity.ivf_topk(emb, n_queries=6, k=8, n_centroids=8).collect()
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=4)
+    ivf = similarity.ivf_topk(emb, n_queries=6, k=8, n_probe=2,
+                              centroids=cents).collect()
     bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
     ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(bf_set & ivf_set) / len(bf_set)
-    assert recall >= 0.2, recall  # bucketed search trades recall for speed
+    assert recall >= 0.7, recall
+
+
+def test_kmeans_centroids_deterministic(spark, emb):
+    a = similarity.kmeans_centroids(emb, n_centroids=4, iters=2).collect()
+    b = similarity.kmeans_centroids(emb, n_centroids=4, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def test_simhash_sketch_near_pairs(spark, emb):
@@ -177,3 +194,25 @@ def test_media_feature_extraction_shape(spark, docs):
 def test_decode_image_real_path_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...", real=True)
+
+
+def test_decode_image_empty_payload(spark):
+    # empty/None payloads must not crash the mapInPandas batch
+    w, h, f = multimodal.decode_image(b"")
+    assert (w, h, f) == (16, 16, [0.0, 0.0, 0.0, 0.0])
+    media = spark.createDataFrame(
+        [(1, "image", None, {}), (2, "image", b"", {})],
+        "doc_id long, media_type string, payload binary, meta map<string,string>",
+    )
+    rows = multimodal.extract_media_features(media).collect()
+    assert {r["n_bytes"] for r in rows} == {0}
+
+
+def test_simhash_r8_equals_brute_force_oracle(spark, emb, duck):
+    """9-band pigeonhole banding at max_hamming=8 must EQUAL exhaustive
+    XOR+popcount (the round-1 4-band layout missed hamming-4..8 pairs)."""
+    sdf = similarity.simhash_near_pairs(emb, dim=64, max_hamming=8)
+    rel = duck.sql(similarity.duck_simhash_near_pairs_sql(64, max_hamming=8))
+    _cmp(sdf, rel, ["id_a", "id_b", "hamming"])
+    with pytest.raises(ValueError):
+        similarity.simhash_near_pairs(emb, dim=64, max_hamming=8, n_bands=4)

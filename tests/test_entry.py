@@ -41,9 +41,9 @@ def _rowset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 
-# deliberately oracle-free (non-SQL-expressible; rows-only + pytest
-# coverage in test_dataops.py)
-NO_ORACLE = {"simhash_near_pairs", "media_features"}
+# every query has an oracle since round 2 (simhash got a brute-force
+# XOR+popcount twin, media_features an octet_length-arithmetic twin)
+NO_ORACLE: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))

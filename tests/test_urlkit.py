@@ -145,6 +145,14 @@ def test_resolve_href(spark):
         ("//h1.example.com/x", "https://h1.example.com/x"),
         ("https://other.org/abs", "https://other.org/abs"),
         ("mailto:a@b.com", "mailto:a@b.com"),  # absolute-scheme passthrough; dropped later
+        # '.' adjacent to '/' that is NOT a dot segment must resolve natively
+        # (round-1 bug: these were silently dropped)
+        ("https://h/v1.2./spec", "https://h/v1.2./spec"),
+        ("a.b./c", "https://h0.example.com/docs/a.b./c"),
+        ("?next=./x", "https://h0.example.com/docs/p5?next=./x"),
+        # query-only / fragment-only resolve against the page, not its dir
+        ("?q=1", "https://h0.example.com/docs/p5?q=1"),
+        ("#sec", "https://h0.example.com/docs/p5"),
     ]
     df = spark.createDataFrame([(page, h) for h, _ in cases], "page string, href string")
     got = [r[0] for r in df.select(urlkit.resolve_href(F.col("page"), F.col("href"))).collect()]
@@ -157,11 +165,25 @@ def test_resolve_href(spark):
     assert got == udf_got
 
     # dot segments route to the UDF path (native returns NULL)
-    df2 = spark.createDataFrame([(page, "../up/x")], "page string, href string")
-    assert df2.select(urlkit.resolve_href(F.col("page"), F.col("href"))).collect()[0][0] is None
+    dotty = ["../up/x", "./here", "a/../b", "a/./b", ".", "..", "x/..", "x/."]
+    df2 = spark.createDataFrame([(page, h) for h in dotty], "page string, href string")
+    assert all(
+        r[0] is None
+        for r in df2.select(urlkit.resolve_href(F.col("page"), F.col("href"))).collect()
+    )
+    assert all(
+        r[0]
+        for r in df2.select(urlkit.has_dot_segment(F.col("href"))).collect()
+    )
     assert (
         df2.select(urlkit.resolve_href_udf(F.col("page"), F.col("href"))).collect()[0][0]
         == "https://h0.example.com/up/x"
+    )
+    # ...and the router predicate must NOT catch the non-dot-segment shapes
+    non_dotty = ["https://h/v1.2./spec", "a.b./c", "?next=./x", "a./", "v2."]
+    df3 = spark.createDataFrame([(h,) for h in non_dotty], "href string")
+    assert not any(
+        r[0] for r in df3.select(urlkit.has_dot_segment(F.col("href"))).collect()
     )
 
 
