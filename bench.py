@@ -54,8 +54,14 @@ def _spark(cpus: str):
     # memory must not balloon when cores shrink); cached megawave inputs
     # need real heap — the sandbox has 128 GiB
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    return get_spark(app_name="bench", master=f"local[{cpus}]",
-                     shuffle_partitions=32)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    extra = None
+    if master.startswith("local-cluster"):
+        # executor JVMs need the repo on the python path + their own heap
+        extra = {"spark.executor.memory": "12g",
+                 "spark.executorEnv.PYTHONPATH": "/root/repo"}
+    return get_spark(app_name="bench", master=master,
+                     shuffle_partitions=32, extra_conf=extra)
 
 
 def _corpus(spark, sf_dir):
@@ -133,6 +139,7 @@ def stage_schedule(spark, sf_dir) -> dict:
         .select("url", urlkit.url_hash(F.col("url")).alias("url_hash"))
         .persist()
     )
+    n_seen = seen.count()
     bloom = BloomShards.empty()
     bloom.add_dataframe(seen)
     raw = _schedule_input(spark, sf_dir).persist()
@@ -143,7 +150,8 @@ def stage_schedule(spark, sf_dir) -> dict:
     for _ in range(2):
         t0 = time.time()
         cand, new = schedule_candidates(raw, seen, bloom=bloom,
-                                        scope_domain="example.com")
+                                        scope_domain="example.com",
+                                        seen_count=n_seen)
         # same persist discipline as the engine's wave: the deduped
         # candidate set feeds both bloom branches, and the unseen set
         # feeds both the politeness ranking and the seq passes —
@@ -239,15 +247,19 @@ STAGES = {
 # ---------------------------------------------------------------------------
 
 
-# ~20M candidates: large enough that per-row compute dominates fixed job
-# overheads, small enough to stay out of the cache-memory-pressure regime
-# (30M showed super-linear slowdown from GC/spill)
-SCALING_VARIANTS = os.environ.get("CMS_SCALING_VARIANTS", "2000")
+# ~30M candidates for scaling runs: long enough tasks that per-row compute
+# dominates fixed job overheads and stage barriers at BOTH levels (at 20M
+# the non-scaling politeness/seq tail was ~30% of the 8-core wall and the
+# measured efficiency swung with it)
+SCALING_VARIANTS = os.environ.get("CMS_SCALING_VARIANTS", "3000")
 
 
-def run_child(stage: str, cpus: str, sf_dir: str) -> dict:
+def run_child(stage: str, cpus: str, sf_dir: str, master: str | None = None
+              ) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=sf_dir,
                CMS_SCHED_VARIANTS=SCALING_VARIANTS)
+    if master:
+        env["SPARK_GRAFT_MASTER"] = master
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child", stage],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -260,12 +272,17 @@ def run_child(stage: str, cpus: str, sf_dir: str) -> dict:
 def scaling_report(sf_dir: str, lo: str = "2", hi: str = "8",
                    repeats: int = 2) -> dict:
     """Strong scaling N -> 4N cores (sandbox analog of N -> 4N executors):
-    the same 20M-candidate scheduling job, same input, same 32-partition
-    plan, in fresh JVMs; peak (best-of-``repeats``) throughput per level —
-    each child already reports its second, JIT-warm iteration.  Beyond ~8
-    cores a single local JVM hits the VM's memory-bandwidth ceiling (a
-    multi-executor cluster does not share one heap/GC: each executor is
-    its own JVM on its own node), so N=2 is the honest base."""
+    the same 30M-candidate scheduling job, same input, same 32-partition
+    plan, same JVM config, in fresh JVMs; peak (best-of-``repeats``)
+    throughput per level — each child already reports its second,
+    JIT-warm iteration.
+
+    Protocol note (measured, see BENCH.md): this VM's memory bandwidth
+    saturates at ~66 GB/s by 16 cores — 8 and 2 cores both sit under that
+    ceiling, so 2 -> 8 measures the ENGINE's scaling; 8 -> 32 on one box
+    measures the wall (even a register-only Spark hash loop caps at ~0.77
+    there, raw CPU at 0.84).  The supplementary report records those
+    levels too rather than hiding them."""
     best: dict[str, dict] = {}
     for cpus in (lo, hi):
         runs = [run_child("schedule", cpus, sf_dir) for _ in range(repeats)]
@@ -283,6 +300,28 @@ def scaling_report(sf_dir: str, lo: str = "2", hi: str = "8",
     }
 
 
+def supplementary_scaling(sf_dir: str) -> dict:
+    """Beyond-the-wall evidence (--full-scaling): the same job at
+    local[8] -> local[32] (single JVM) and at local-cluster 1x8 -> 4x8
+    (one executor JVM per worker — the multi-process analog of 1 -> 4
+    executors).  Neither can beat the machine's bandwidth ceiling; both
+    are reported as measured."""
+    out: dict[str, dict] = {}
+    r8 = run_child("schedule", "8", sf_dir)
+    r32 = run_child("schedule", "32", sf_dir)
+    out["local_8_to_32"] = {
+        "urls_per_sec": [r8["urls_per_sec"], r32["urls_per_sec"]],
+        "efficiency": (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4,
+    }
+    lc1 = run_child("schedule", "8", sf_dir, master="local-cluster[1,8,14336]")
+    lc4 = run_child("schedule", "32", sf_dir, master="local-cluster[4,8,14336]")
+    out["executors_1x8_to_4x8"] = {
+        "urls_per_sec": [lc1["urls_per_sec"], lc4["urls_per_sec"]],
+        "efficiency": (lc4["urls_per_sec"] / lc1["urls_per_sec"]) / 4,
+    }
+    return out
+
+
 # ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
@@ -294,6 +333,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true", default=True,
                     help="run the N->4N scaling children (default on)")
     ap.add_argument("--no-scaling", dest="scaling", action="store_false")
+    ap.add_argument("--full-scaling", action="store_true", default=False,
+                    help="also run 8->32 and multi-process executor levels")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
@@ -327,6 +368,8 @@ def main() -> None:
     }
     if args.scaling:
         result["scaling"] = scaling_report(args.sf_dir)
+    if args.full_scaling:
+        result["scaling_supplementary"] = supplementary_scaling(args.sf_dir)
     print(json.dumps(result))
 
 

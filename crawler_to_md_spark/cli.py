@@ -1,0 +1,184 @@
+"""Command-line entry point — mirrors the reference CLI surface
+(/root/reference/crawler_to_md/cli.py:20-299) over the Spark engine.
+
+Flag-for-flag parity where semantics carry over:
+
+  --url/-u, --urls-file (file or ``-`` = stdin)   seeds (S1/S2; cli.py:34-39,181-190)
+  --output-folder/-o, --cache-folder/-c           layout (cli.py:40-53,200-214)
+  --overwrite-cache/-w                            S13 (cli.py:54-60,225-231)
+  --base-url/-b, --title/-t                       scope + export title (cli.py:61-70)
+  --include-url/-I, --exclude-url/-e              P3/P4 (cli.py:71-84)
+  --export-individual/-ei                         S12 (cli.py:85-91)
+  --rate-limit/-rl, --delay/-d                    O3/O4 (cli.py:92-105)
+  --proxy/-p, --timeout                           transport knobs (cli.py:106-117)
+  --no-markdown, --no-json, --minify/-m           exports (cli.py:118-139)
+  --include/-i, --exclude/-x                      P6/P7 CSS filters (cli.py:140-159)
+  --max-retries                                   O5 (cli.py:160-165)
+
+Differences forced by the engine being distributed + sandboxed:
+  * the cache folder holds a snapshot warehouse per seed (not a sqlite
+    file); ``--overwrite-cache`` removes the warehouse dir.
+  * fetch is simulated: ``--corpus-parquet`` points at a pre-fetched page
+    store (url, status_code, content_type, spans, ...); a production
+    deployment swaps this for the HTTP ``mapInPandas`` stage, where
+    ``--proxy``/``--timeout`` apply.
+  * ``--master`` picks the Spark master (default ``local[*]``).
+
+As in the reference, seeding from ``--urls-file`` disables link discovery
+(static frontier, O9 — scraper.py:553-555,589) and leaves ``--base-url``
+unset unless given; ``--url`` crawls its site with base_url defaulting to
+the URL's directory (cli.py:244-252).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="crawler-to-md-spark", description="Web Scraper to Markdown (Spark)"
+    )
+    p.add_argument("--url", "-u", help="Base URL to start scraping")
+    p.add_argument("--urls-file",
+                   help="File with URLs, one per line; '-' reads stdin")
+    p.add_argument("--output-folder", "--output-dir", "-o", default="./output")
+    p.add_argument("--cache-folder", "--cache-dir", "-c",
+                   default="~/.cache/crawler-to-md-spark")
+    p.add_argument("--overwrite-cache", "-w", action="store_true", default=False)
+    p.add_argument("--base-url", "-b",
+                   help="Base URL for link scope; defaults to the URL base")
+    p.add_argument("--title", "-t", help="Markdown title; defaults to the URL")
+    p.add_argument("--exclude-url", "-e", action="append", default=[])
+    p.add_argument("--include-url", "-I", action="append", default=[])
+    p.add_argument("--export-individual", "-ei", action="store_true", default=False)
+    p.add_argument("--rate-limit", "-rl", type=int, default=0,
+                   help="Max requests per minute (0 = off)")
+    p.add_argument("--delay", "-d", type=float, default=0)
+    p.add_argument("--proxy", "-p", default=None)
+    p.add_argument("--timeout", type=float, default=10)
+    p.add_argument("--no-markdown", action="store_true", default=False)
+    p.add_argument("--no-json", action="store_true", default=False)
+    p.add_argument("--minify", "-m", action="store_true", default=False)
+    p.add_argument("--include", "-i", action="append", default=[],
+                   help="CSS-like selector to include before conversion")
+    p.add_argument("--exclude", "-x", action="append", default=[],
+                   help="CSS-like selector to exclude before conversion")
+    p.add_argument("--max-retries", type=int, default=3)
+    # Spark-engine specifics
+    p.add_argument("--corpus-parquet",
+                   help="Parquet page store standing in for HTTP fetch")
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    """Parse args, crawl, export.  ``spark`` is injectable for tests."""
+    from crawler_to_md_spark import exports
+    from crawler_to_md_spark.functions import urlkit as _  # noqa: F401 (parity)
+    from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+    from crawler_to_md_spark.sources import seeds as seed_src
+    from crawler_to_md_spark.session import get_spark
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    args.cache_folder = os.path.expanduser(args.cache_folder)
+
+    if spark is None:
+        spark = get_spark(app_name="crawler-to-md-spark", master=args.master)
+
+    # ---- seeds (cli.py:181-199): file/stdin beats --url ------------------
+    seed_df = None
+    urls_list_mode = False
+    if args.urls_file:
+        seed_df = seed_src.seed_frame(spark, args.urls_file)
+        urls_list_mode = True
+        first = seed_df.orderBy("seed_seq").select("raw").first()
+        if first is None or not first["raw"]:
+            parser.error("urls file is empty")
+        first_url = first["raw"]
+    elif args.url:
+        seed_df = seed_src.single_seed_frame(spark, args.url)
+        first_url = args.url
+    else:
+        parser.error("No URL provided. Please provide either --url or --urls-file.")
+
+    # ---- layout (cli.py:200-214) ----------------------------------------
+    from pyspark.sql import functions as F
+
+    fname = (
+        spark.createDataFrame([(first_url,)], "u string")
+        .select(_.url_to_filename_expr(F.col("u"))).first()[0]
+    )
+    output = os.path.join(args.output_folder, fname)
+    os.makedirs(output, exist_ok=True)
+    os.makedirs(args.cache_folder, exist_ok=True)
+
+    if not args.base_url and not args.urls_file:
+        args.base_url = (
+            spark.createDataFrame([(first_url,)], "u string")
+            .select(_.url_dirname_expr(F.col("u"))).first()[0]
+        )
+    if not args.title:
+        args.title = first_url
+
+    # ---- cache lifecycle (S13, cli.py:222-231) ---------------------------
+    warehouse = os.path.join(args.cache_folder, fname)
+    if args.overwrite_cache and os.path.exists(warehouse):
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+    corpus_df = (
+        spark.read.parquet(args.corpus_parquet) if args.corpus_parquet else None
+    )
+    config = CrawlConfig(
+        scope_base_url=args.base_url,
+        include_patterns=args.include_url,
+        exclude_patterns=args.exclude_url,
+        max_retries=args.max_retries,
+        discover_links=not urls_list_mode,      # O9 (scraper.py:553-555,589)
+        rate_limit=args.rate_limit,
+        delay=args.delay,
+        timeout=args.timeout,
+        proxy=args.proxy,
+        css_include=args.include,
+        css_exclude=args.exclude,
+    )
+    engine = CrawlEngine(spark, warehouse, corpus=corpus_df, config=config)
+    resume = engine.store.exists()
+    if not resume:
+        engine.seed(seed_df)
+        engine.run_to_completion()
+    else:
+        engine.run(resume=True)                  # O6 requeue path
+
+    # ---- exports (cli.py:262-295) ----------------------------------------
+    out_name = (
+        spark.createDataFrame([(args.title,)], "t string")
+        .select(_.randomstring_to_filename_expr(F.col("t"))).first()[0]
+    )
+    docs, links = engine.docs(), engine.links()
+    md_path = os.path.join(output, f"{out_name}.md")
+    json_path = os.path.join(output, f"{out_name}.json")
+    if not args.no_markdown:
+        exports.export_compiled_markdown(
+            docs, links, title=args.title, path=md_path, minify=args.minify)
+        print("Markdown file generated at:", md_path)
+    if not args.no_json:
+        exports.export_compiled_json(
+            docs, links, path=json_path, minify=args.minify)
+        print("JSON file generated at:", json_path)
+    if args.export_individual:
+        folder = exports.export_individual_markdown(
+            docs, links, output_folder=output, base_url=args.base_url,
+            minify=args.minify)
+        print("Individual Markdown files exported to:", folder)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,13 +43,43 @@ from crawler_to_md_spark.functions.markdown import (
 )
 
 
-def _ordered_pages(docs: DataFrame, links: DataFrame) -> DataFrame:
+def _ordered_pages(
+    docs: DataFrame, links: DataFrame, keep_order_cols: bool = False
+) -> DataFrame:
     """Non-null pages with content markdown, in discovery order."""
     pages = docs.filter(F.col("spans").isNotNull()).withColumn(
         "content", F.expr(spans_to_markdown_expr("spans"))
     )
     order = links.select("url", F.col("batch_id").alias("__b"), F.col("seq").alias("__s"))
-    return pages.join(order, "url", "left").orderBy("__b", "__s").drop("__b", "__s")
+    joined = pages.join(order, "url", "left").orderBy("__b", "__s")
+    return joined if keep_order_cols else joined.drop("__b", "__s")
+
+
+def _md_block_col(minify: bool) -> F.Column:
+    """Per-page compiled-MD block (export_manager.py:178-200) from columns
+    url / metadata / __adj — rendered distributed in both export paths."""
+    if minify:
+        return F.concat(F.lit("\n"), F.col("__adj"))
+    meta_lines = F.array_join(
+        F.transform(
+            F.map_entries(
+                F.map_filter(
+                    F.coalesce(
+                        F.col("metadata"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    lambda k, v: v.isNotNull(),
+                )
+            ),
+            lambda e: F.concat(e["key"], F.lit(": "), e["value"], F.lit("\n")),
+        ),
+        "",
+    )
+    return F.concat(
+        F.lit("\n<!--\nURL: "), F.col("url"), F.lit("\n"),
+        meta_lines,
+        F.lit("-->\n\n"), F.col("__adj"), F.lit("\n---"),
+    )
 
 
 def export_compiled_markdown(
@@ -59,32 +89,16 @@ def export_compiled_markdown(
     path: str | None = None,
     minify: bool = False,
 ) -> str:
-    """S10 + F10-F15: one markdown document for the whole crawl."""
+    """S10 + F10-F15: one markdown document for the whole crawl.
+
+    Collects rendered page blocks to the driver — right for corpora whose
+    compiled file comfortably fits in driver memory (the reference's own
+    single-writer design, R8).  At crawl scale use
+    :func:`export_compiled_markdown_sharded`: byte-identical output,
+    executor-written shards, O(1) driver memory."""
     pages = _ordered_pages(docs, links)
     adjusted = pages.withColumn("__adj", F.expr(adjust_headers_expr("content")))
-    if minify:
-        block = F.concat(F.lit("\n"), F.col("__adj"))
-    else:
-        meta_lines = F.array_join(
-            F.transform(
-                F.map_entries(
-                    F.map_filter(
-                        F.coalesce(
-                            F.col("metadata"),
-                            F.create_map().cast("map<string,string>"),
-                        ),
-                        lambda k, v: v.isNotNull(),
-                    )
-                ),
-                lambda e: F.concat(e["key"], F.lit(": "), e["value"], F.lit("\n")),
-            ),
-            "",
-        )
-        block = F.concat(
-            F.lit("\n<!--\nURL: "), F.col("url"), F.lit("\n"),
-            meta_lines,
-            F.lit("-->\n\n"), F.col("__adj"), F.lit("\n---"),
-        )
+    block = _md_block_col(minify)
     blocks = [r["b"] for r in adjusted.select(block.alias("b")).collect()]
     out = "".join([f"# {title}\n"] + blocks)
     out = _cleanup_str(out)
@@ -102,6 +116,255 @@ def _cleanup_str(s: str) -> str:
     import re
 
     return re.sub(r"\n{3,}", "\n\n", s)
+
+
+# ---------------------------------------------------------------------------
+# Sharded compiled exports (scale path: executor shard files + a driver
+# that concatenates FILES through streaming post-processors, never rows)
+# ---------------------------------------------------------------------------
+
+
+class _StreamCleanup:
+    """Streaming twin of ``_cleanup_str``: collapses ``\\n{3,}`` across
+    chunk boundaries by holding back each chunk's trailing newline run (a
+    run is only complete once a non-newline byte follows)."""
+
+    def __init__(self, sink):
+        import re
+
+        self._re = re.compile(r"\n{3,}")
+        self._sink = sink
+        self._carry = ""
+
+    def feed(self, chunk: str) -> None:
+        if not chunk:
+            return
+        s = self._carry + chunk
+        i = len(s)
+        while i > 0 and s[i - 1] == "\n":
+            i -= 1
+        emit, self._carry = s[:i], s[i:]
+        if emit:
+            self._sink.feed(self._re.sub("\n\n", emit))
+
+    def finish(self) -> None:
+        if self._carry:
+            self._sink.feed(self._re.sub("\n\n", self._carry))
+        self._sink.finish()
+
+
+class _StreamMinify:
+    """Streaming driver of :class:`functions.markdown.MinifyMachine`:
+    byte-identical to ``minify_markdown_str`` over the concatenated
+    stream, fed chunk-wise."""
+
+    def __init__(self, sink):
+        from crawler_to_md_spark.functions.markdown import MinifyMachine
+
+        self._machine = MinifyMachine()
+        self._sink = sink
+        self._buf = ""
+        self._emitted = False
+        self._last_char = ""
+
+    def feed(self, chunk: str) -> None:
+        if not chunk:
+            return
+        self._last_char = chunk[-1]
+        self._buf += chunk
+        *lines, self._buf = self._buf.split("\n")
+        for line in lines:
+            self._emit(line)
+
+    def _emit(self, line: str) -> None:
+        kept = self._machine.process_line(line)
+        if kept is None:
+            return
+        if self._emitted:
+            self._sink.feed("\n")
+        self._sink.feed(kept)
+        self._emitted = True
+
+    def finish(self) -> None:
+        self._emit(self._buf)
+        if self._last_char == "\n" and self._emitted:
+            self._sink.feed("\n")
+        self._sink.finish()
+
+
+class _FileSink:
+    def __init__(self, f):
+        self._f = f
+
+    def feed(self, chunk: str) -> None:
+        self._f.write(chunk)
+
+    def finish(self) -> None:
+        pass
+
+
+def _write_ordered_shards(rows: DataFrame, shard_dir: str, col: str,
+                          shards: int) -> list[str]:
+    """Write ``rows[col]`` (already carrying __b/__s order columns) as
+    range-partitioned, partition-sorted shard files.  repartitionByRange
+    guarantees partition i's keys precede partition i+1's, so shard-id
+    order IS global discovery order.  Executors write the files — on a
+    cluster ``shard_dir`` must be shared storage (same contract as the
+    per-page file sink)."""
+    import glob
+
+    os.makedirs(shard_dir, exist_ok=True)
+    parts = (
+        rows.repartitionByRange(shards, F.col("__b"), F.col("__s"))
+        .sortWithinPartitions("__b", "__s")
+        .select(F.col(col).alias("__chunk"))
+    )
+
+    def write_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fp = os.path.join(shard_dir, f"shard-{pid:05d}.part")
+        wrote = False
+        with open(fp, "w", encoding="utf-8") as f:
+            for row in it:
+                f.write(row["__chunk"])
+                wrote = True
+        if not wrote:
+            os.remove(fp)
+
+    parts.foreachPartition(write_partition)
+    return sorted(glob.glob(os.path.join(shard_dir, "shard-*.part")))
+
+
+def export_compiled_markdown_sharded(
+    docs: DataFrame,
+    links: DataFrame,
+    title: str,
+    path: str,
+    minify: bool = False,
+    shards: int = 32,
+) -> str:
+    """S10 at crawl scale: byte-identical to
+    :func:`export_compiled_markdown` (verified in tests) with no
+    driver-side row collection.  Page blocks render distributed into
+    ordered shard files; the driver streams shard FILES through the same
+    cleanup + minify state machines into the final document, O(chunk)
+    memory at 10^10 pages."""
+    import shutil
+    import tempfile
+
+    pages = _ordered_pages(docs, links, keep_order_cols=True)
+    adjusted = pages.withColumn("__adj", F.expr(adjust_headers_expr("content")))
+    rows = adjusted.withColumn("__block", _md_block_col(minify))
+
+    shard_dir = tempfile.mkdtemp(prefix="md_shards_", dir=os.path.dirname(path) or ".")
+    try:
+        shard_files = _write_ordered_shards(rows, shard_dir, "__block", shards)
+        with open(path, "w", encoding="utf-8") as f:
+            sink: object = _FileSink(f)
+            if minify:
+                sink = _StreamMinify(sink)
+            pipeline = _StreamCleanup(sink)
+            pipeline.feed(f"# {title}\n")
+            for fp in shard_files:
+                with open(fp, encoding="utf-8") as sf:
+                    while True:
+                        chunk = sf.read(1 << 20)
+                        if not chunk:
+                            break
+                        pipeline.feed(chunk)
+            pipeline.finish()
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    return path
+
+
+def export_compiled_json_sharded(
+    docs: DataFrame,
+    links: DataFrame,
+    path: str,
+    minify: bool = False,
+    shards: int = 32,
+) -> str:
+    """S11 at crawl scale: byte-identical to :func:`export_compiled_json`.
+    Each page object is serialized distributed (vectorized UDF applying
+    the exact ``json.dumps`` the driver version uses); the driver only
+    stitches shard files with array punctuation."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    indent = not minify
+
+    # NOTE: no parameter annotations — `from __future__ import annotations`
+    # stringifies them and pyspark's typehint parser rejects the strings;
+    # the explicit returnType keeps this a scalar pandas UDF
+    @pandas_udf(StringType())
+    def render(url, content, metadata):
+        def one(u, c, m):
+            obj = {"url": u, "content": c,
+                   "metadata": {k: v for k, v in dict(m or {}).items()}}
+            if indent:
+                s = json.dumps(obj, ensure_ascii=False, indent=4)
+                return "\n".join("    " + line for line in s.split("\n"))
+            return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+
+        return pd.Series([one(u, c, m) for u, c, m in zip(url, content, metadata)])
+
+    pages = _ordered_pages(docs, links, keep_order_cols=True).select(
+        "__b", "__s", "url",
+        cleanup_markdown(F.col("content")).alias("content"),
+        F.map_filter(
+            F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+            lambda k, v: v.isNotNull(),
+        ).alias("metadata"),
+    )
+    rows = pages.withColumn(
+        "__obj", render(F.col("url"), F.col("content"), F.col("metadata"))
+    )
+    shard_dir = tempfile.mkdtemp(prefix="json_shards_", dir=os.path.dirname(path) or ".")
+    try:
+        shard_files = _write_ordered_shards(
+            rows.withColumn(
+                "__obj", F.concat(F.col("__obj"), F.lit("\x00"))
+            ),
+            shard_dir, "__obj", shards,
+        )
+        sep = ",\n" if indent else ","
+        with open(path, "w", encoding="utf-8") as f:
+            first = True
+            wrote_any = False
+
+            def emit(obj: str) -> None:
+                nonlocal first, wrote_any
+                if not obj:
+                    return
+                f.write(("[\n" if indent else "[") if first else sep)
+                first = False
+                f.write(obj)
+                wrote_any = True
+
+            # objects are \x00-delimited; stream each shard with a carry so
+            # driver memory stays O(chunk + one object)
+            for fp in shard_files:
+                carry = ""
+                with open(fp, encoding="utf-8") as sf:
+                    while True:
+                        chunk = sf.read(1 << 20)
+                        if not chunk:
+                            break
+                        *objs, carry = (carry + chunk).split("\x00")
+                        for obj in objs:
+                            emit(obj)
+                emit(carry)
+            f.write(("\n]" if indent else "]") if wrote_any else "[]")
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    return path
 
 
 def export_compiled_json(

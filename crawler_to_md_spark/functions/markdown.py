@@ -145,36 +145,32 @@ def _strip_comments(line: str, in_comment: bool) -> tuple[str, bool]:
     return "".join(out), in_comment
 
 
-def minify_markdown_str(content: str) -> str:
-    """Reference semantics (export_manager.py:103-146): outside fenced code,
-    strip HTML comments, keep exact two-trailing-space hard breaks, drop
-    blank lines and ---- rules; fenced blocks (``` or ~~~, possibly
-    indented) pass through verbatim. Idempotent."""
-    if content is None:
-        return None
-    trailing_nl = content.endswith("\n")
-    kept: list[str] = []
-    fence: str | None = None
-    in_comment = False
+class MinifyMachine:
+    """The minifier's line state machine (fence tracking, multi-line
+    comment stripping), factored out so the same states drive both the
+    per-document string function below and the streaming compiled-export
+    assembly (exports.py) — one shard at a time, O(1) memory."""
 
-    for line in content.split("\n"):
-        if fence is not None:
-            kept.append(line)
-            if line.lstrip(" ").startswith(_FENCE_OPEN[fence]):
-                fence = None
-            continue
+    def __init__(self) -> None:
+        self.fence: str | None = None
+        self.in_comment = False
+
+    def process_line(self, line: str) -> str | None:
+        """Return the line to keep (possibly rewritten) or None to drop."""
+        if self.fence is not None:
+            if line.lstrip(" ").startswith(_FENCE_OPEN[self.fence]):
+                self.fence = None
+            return line
 
         stripped_lead = line.lstrip(" ")
         if stripped_lead.startswith("```"):
-            fence = "`"
-            kept.append(line)
-            continue
+            self.fence = "`"
+            return line
         if stripped_lead.startswith("~~~"):
-            fence = "~"
-            kept.append(line)
-            continue
+            self.fence = "~"
+            return line
 
-        line, in_comment = _strip_comments(line, in_comment)
+        line, self.in_comment = _strip_comments(line, self.in_comment)
 
         if line.endswith("  ") and not line.endswith("   "):
             pass  # exact two-space hard break survives
@@ -183,11 +179,25 @@ def minify_markdown_str(content: str) -> str:
 
         body = line.strip()
         if body == "" or _RULE_RE.fullmatch(body):
-            continue
-        kept.append(line)
+            return None
+        return line
 
+
+def minify_markdown_str(content: str) -> str:
+    """Reference semantics (export_manager.py:103-146): outside fenced code,
+    strip HTML comments, keep exact two-trailing-space hard breaks, drop
+    blank lines and ---- rules; fenced blocks (``` or ~~~, possibly
+    indented) pass through verbatim. Idempotent."""
+    if content is None:
+        return None
+    machine = MinifyMachine()
+    kept = [
+        out
+        for out in (machine.process_line(line) for line in content.split("\n"))
+        if out is not None
+    ]
     result = "\n".join(kept)
-    if trailing_nl and result:
+    if content.endswith("\n") and result:
         result += "\n"
     return result
 

@@ -53,6 +53,7 @@ from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.bloom import BloomShards
 from crawler_to_md_spark.operators import schedule
 from crawler_to_md_spark.operators.politeness import (
+    Pacer,
     global_cap,
     politeness_cap,
     robots_filter,
@@ -94,7 +95,15 @@ class CrawlConfig:
     max_retries: int = 3                     # --max-retries (cli.py:160-165)
     discover_links: bool = True              # False = static frontier (O9)
     host_budget: int | None = None           # per-host URLs per wave (politeness)
-    global_budget: int | None = None         # per-wave cap (rate-limit analog, O3)
+    global_budget: int | None = None         # per-wave cap (wave-size analog of L1)
+    rate_limit: int = 0                      # requests/min, 0 = off (O3, cli.py:92-98)
+    delay: float = 0.0                       # sec between requests (O4, cli.py:99-105)
+    timeout: float = 10.0                    # transport knob (cli.py:112-117);
+    proxy: str | None = None                 # with simulated fetch these are
+    #                                          recorded for the production
+    #                                          mapInPandas HTTP stage only
+    css_include: list[str] = field(default_factory=list)   # P6 (extraction)
+    css_exclude: list[str] = field(default_factory=list)   # P7 (extraction)
     salt_shards: int = 8                     # politeness skew fan-out
     max_waves: int = 200
     assume_no_dot_segments: bool = False     # skip urljoin-UDF branch
@@ -118,11 +127,14 @@ class CrawlEngine:
         corpus: DataFrame | None = None,
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
+        pacer: Pacer | None = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
         self.store = SnapshotStore(spark, warehouse_dir)
         self.robots = robots
+        # injectable for sleep-math tests (reference scraper.py:428-475)
+        self.pacer = pacer or Pacer(self.config.rate_limit, self.config.delay)
         self._corpus_path = os.path.join(warehouse_dir, "corpus")
         if corpus is not None and not os.path.exists(self._corpus_path):
             # materialize once: every wave's fetch join then scans stable
@@ -156,13 +168,21 @@ class CrawlEngine:
     # seeding (scraper.py:375-402 + utils.py:94-106 order-dedup)
     # ------------------------------------------------------------------
 
-    def seed(self, urls: list[str]) -> int:
+    def seed(self, urls: "list[str] | DataFrame") -> int:
         """Validate, canonicalize, order-dedup and commit the seed frontier
-        as snapshot 0.  Returns the number of accepted seeds."""
+        as snapshot 0.  Returns the number of accepted seeds.
+
+        ``urls`` is either a Python list (reference ``--url`` shape,
+        cli.py:181-190) or a DataFrame with ``(seed_seq long, raw string)``
+        — the distributed seed-file source (sources/seeds.py), which never
+        materializes a 10^8-line seed list on the driver."""
         spark = self.spark
-        raw = spark.createDataFrame(
-            [(i, u) for i, u in enumerate(urls)], "seed_seq long, raw string"
-        )
+        if isinstance(urls, DataFrame):
+            raw = urls.select("seed_seq", "raw")
+        else:
+            raw = spark.createDataFrame(
+                [(i, u) for i, u in enumerate(urls)], "seed_seq long, raw string"
+            )
         canon = raw.withColumn("url", urlkit.canonicalize_udf(F.col("raw")))
         valid = canon.filter(
             urlkit.is_valid_link(
@@ -257,7 +277,10 @@ class CrawlEngine:
             batch = politeness_cap(pending, cfg.host_budget, cfg.salt_shards)
         else:
             batch = pending
-        batch = global_cap(batch, cfg.global_budget).drop("priority")
+        # wave cap = min(configured wave size, remaining rate-limit budget)
+        caps = [c for c in (cfg.global_budget, self.pacer.wave_budget())
+                if c is not None]
+        batch = global_cap(batch, min(caps) if caps else None).drop("priority")
 
         corpus_cols = self.corpus.select(
             "url", "status_code", "content_type",
@@ -433,6 +456,9 @@ class CrawlEngine:
         if new_links is not None:
             new_links.unpersist()
         pt.mark("end")
+        # time-based politeness: delay + rate-limit window sleeps (O3/O4);
+        # failed fetches count as requests (scraper.py:493,535)
+        self.pacer.after_wave(int(stats["dequeued"] or 0))
         return int(stats["dequeued"] or 0), inserted
 
     def _discover(
@@ -464,8 +490,14 @@ class CrawlEngine:
             exclude_patterns=cfg.exclude_patterns,
             robots=self.robots,
         )
-        cand = schedule.dedup_candidates(valid).persist()
-        return cand, schedule.filter_unseen(cand, links_all, bloom)
+        counters = self.store.lineage.get("counters", {})
+        seen_count = int(counters.get("seeds", 0)) + int(
+            counters.get("links_inserted", 0))
+        cand = schedule.with_bloom_flag(
+            schedule.dedup_candidates(valid), bloom
+        ).persist()
+        return cand, schedule.filter_unseen(cand, links_all, bloom,
+                                            seen_count=seen_count)
 
     # ------------------------------------------------------------------
     # runs

@@ -68,6 +68,65 @@ def global_cap(batch: DataFrame, limit: int | None,
     return batch.orderBy(*order).limit(limit)
 
 
+class Pacer:
+    """O3/O4: time-based global politeness (reference scraper.py:428-475).
+
+    The reference gates each request serially: ``sleep(delay)`` before
+    every fetch (scraper.py:470-475), and after ``rate_limit`` requests
+    inside a 60 s window, ``sleep(60 - elapsed)`` then reset
+    (scraper.py:455-468; sleep-math tests tests/test_scraper.py:1219-1280).
+    A wave engine amortizes both driver-side: the wave dequeue is capped at
+    the window's REMAINING budget (so no wave overshoots the
+    requests/minute contract), the per-request delay becomes one
+    ``sleep(delay * n)`` per wave, and the window sleep fires when the
+    budget is exhausted.  ``clock``/``sleeper`` are injectable so tests
+    assert the sleep math without wall-clock time.
+    """
+
+    WINDOW_SECONDS = 60.0
+
+    def __init__(self, rate_limit: int = 0, delay: float = 0.0,
+                 clock=None, sleeper=None):
+        import time
+
+        self.rate_limit = int(rate_limit or 0)
+        self.delay = float(delay or 0.0)
+        self._clock = clock or time.monotonic
+        self._sleep = sleeper or time.sleep
+        self._window_start: float | None = None
+        self._sent_in_window = 0
+        self.sleeps: list[float] = []   # log for tests/metrics
+
+    def wave_budget(self) -> int | None:
+        """Max URLs the next wave may dequeue (None = uncapped)."""
+        if not self.rate_limit:
+            return None
+        return max(1, self.rate_limit - self._sent_in_window)
+
+    def after_wave(self, n_requests: int) -> None:
+        """Account ``n_requests`` (failed fetches count too,
+        scraper.py:493,535) and sleep per the reference math."""
+        if n_requests <= 0:
+            return
+        if self.delay:
+            self._do_sleep(self.delay * n_requests)
+        if not self.rate_limit:
+            return
+        if self._window_start is None:
+            self._window_start = self._clock()
+        self._sent_in_window += n_requests
+        if self._sent_in_window >= self.rate_limit:
+            elapsed = self._clock() - self._window_start
+            if elapsed < self.WINDOW_SECONDS:
+                self._do_sleep(self.WINDOW_SECONDS - elapsed)
+            self._window_start = self._clock()
+            self._sent_in_window = 0
+
+    def _do_sleep(self, seconds: float) -> None:
+        self.sleeps.append(seconds)
+        self._sleep(seconds)
+
+
 def robots_allowed(url: Column, disallow: Column) -> Column:
     """True when no disallow prefix matches the URL path.  NULL disallow
     (host absent from the rules table) = allowed, like a missing robots.txt."""

@@ -93,25 +93,58 @@ def dedup_candidates(valid: DataFrame) -> DataFrame:
     )
 
 
+MAYBE_COL = "__maybe"
+
+
+def with_bloom_flag(
+    cand: DataFrame, bloom: BloomShards | None
+) -> DataFrame:
+    """Stamp the bloom membership verdict as a column (``MAYBE_COL``).
+
+    Callers persist the result ONCE and both downstream consumers (the
+    sure-new branch and the suspect anti-join) read the cached boolean —
+    round 1 evaluated the Arrow UDF twice, one full pass per branch."""
+    if bloom is None:
+        return cand
+    maybe = bloom.might_contain_udf(cand.sparkSession)
+    return cand.withColumn(MAYBE_COL, maybe(F.col("url_hash")))
+
+
+# Below this many seen rows the anti-join build side is broadcast (~40 MB
+# of (hash, url) pairs at 1M rows) — no shuffle of either side.  Above it,
+# the bloom-prefiltered shuffled anti-join is the scale path (a 10^10-row
+# frontier can never broadcast).
+BROADCAST_SEEN_MAX = 2_000_000
+
+
 def filter_unseen(
-    cand: DataFrame, seen: DataFrame, bloom: BloomShards | None = None
+    cand: DataFrame, seen: DataFrame, bloom: BloomShards | None = None,
+    seen_count: int | None = None,
 ) -> DataFrame:
     """J2: keep candidates absent from the seen set.
 
     With bloom shards, only bloom-positive candidates (true dupes + the
     tiny FP fraction) reach the exact anti-join; bloom-negatives are new by
     construction, so a false positive can only cost a redundant check —
-    never drop a URL.
+    never drop a URL.  If ``cand`` already carries ``MAYBE_COL`` (from
+    :func:`with_bloom_flag`, ideally persisted), the flag is reused;
+    otherwise it is computed inline.
+
+    ``seen_count`` is a join-strategy hint the crawl engine supplies from
+    its lineage counters (A1): while the frontier is small the exact
+    anti-join broadcasts the seen keys instead of shuffling the candidate
+    side (AQE can only make that call after materializing the shuffle).
     """
     seen_keys = seen.select("url_hash", "url")
-    if bloom is None:
+    if seen_count is not None and seen_count <= BROADCAST_SEEN_MAX:
+        seen_keys = F.broadcast(seen_keys)
+    if bloom is None and MAYBE_COL not in cand.columns:
         return cand.join(seen_keys, ["url_hash", "url"], "left_anti")
-    spark = cand.sparkSession
-    maybe = bloom.might_contain_udf(spark)
-    flagged = cand.withColumn("__maybe", maybe(F.col("url_hash")))
-    sure_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    if MAYBE_COL not in cand.columns:
+        cand = with_bloom_flag(cand, bloom)
+    sure_new = cand.filter(~F.col(MAYBE_COL)).drop(MAYBE_COL)
     suspects = (
-        flagged.filter(F.col("__maybe")).drop("__maybe")
+        cand.filter(F.col(MAYBE_COL)).drop(MAYBE_COL)
         .join(seen_keys, ["url_hash", "url"], "left_anti")
     )
     return sure_new.unionByName(suspects)
@@ -126,13 +159,16 @@ def schedule_candidates(
     include_patterns: list[str] | None = None,
     exclude_patterns: list[str] | None = None,
     robots: DataFrame | None = None,
+    seen_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full chain.  ``raw`` needs (page_url, href, parent_depth); returns
-    (all deduped candidates [persisted by caller], unseen subset)."""
+    (all deduped candidates [persisted by caller], unseen subset).  The
+    candidate frame carries the bloom verdict column so one persist covers
+    both the metrics count and both unseen branches."""
     resolved = resolve_candidates(raw)
     valid = validate_candidates(
         resolved, scope_base_url, scope_domain,
         include_patterns, exclude_patterns, robots,
     )
-    cand = dedup_candidates(valid)
-    return cand, filter_unseen(cand, seen, bloom)
+    cand = with_bloom_flag(dedup_candidates(valid), bloom)
+    return cand, filter_unseen(cand, seen, bloom, seen_count=seen_count)

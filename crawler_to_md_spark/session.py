@@ -30,9 +30,31 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
 
+    inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
+    parts = inner.split(",")
+    try:
+        if len(parts) >= 2:        # local-cluster[workers, coresPerWorker, mem]
+            exec_cores = int(parts[1])
+            total_cores = int(parts[0]) * exec_cores
+        elif inner == "*":
+            exec_cores = total_cores = os.cpu_count() or 8
+        else:
+            exec_cores = total_cores = int(parts[0])
+    except ValueError:
+        exec_cores = total_cores = os.cpu_count() or 8
     if shuffle_partitions is None:
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
-        shuffle_partitions = 32 if inner == "*" else max(4, int(inner))
+        shuffle_partitions = max(4, total_cores)
+
+    # Throughput GC: ParallelGC measured ~14% faster than the G1 default on
+    # the string-churn scheduling stage (385k vs 339k URLs/s at 8 cores).
+    # GC worker threads are left at the JVM default (sized by machine
+    # cores) — identical at every parallelism level, exactly as executor
+    # JVMs on a real cluster node size their GC.  Pinning GC threads to the
+    # task-core count was measured and rejected: it cost 25% at 8 cores
+    # (288k vs 385k) while small-heap runs got slightly faster, i.e. it
+    # distorts rather than levels strong-scaling comparisons.
+    gc_opts = "-XX:+UseParallelGC"
+    del exec_cores  # parsed for future per-executor sizing; GC stays default
 
     # shuffle/spill to tmpfs when available: the sandbox VM's block device
     # saturates under shuffle writes and serializes scaling runs (a real
@@ -75,6 +97,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executor.extraJavaOptions", gc_opts)
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

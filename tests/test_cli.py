@@ -1,0 +1,144 @@
+"""CLI tests — mirror the reference tests/test_cli.py shapes: flag
+plumbing, urls-file/stdin seeds, overwrite-cache, export toggles."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+
+from crawler_to_md_spark import cli
+from crawler_to_md_spark.sources import corpus, seeds
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli_corpus") / "corpus.parquet")
+    corpus.synth_corpus(spark, "/root/testdata/sf0.001", replicas=1) \
+        .write.mode("overwrite").parquet(p)
+    return p
+
+
+def _run(spark, tmp_path, *argv, name="run"):
+    out = str(tmp_path / f"out_{name}")
+    cache = str(tmp_path / f"cache_{name}")
+    rc = cli.main(
+        ["--output-folder", out, "--cache-folder", cache, *argv], spark=spark)
+    return rc, out, cache
+
+
+def test_requires_url_or_file(spark, tmp_path, corpus_path):
+    with pytest.raises(SystemExit):
+        _run(spark, tmp_path, "--corpus-parquet", corpus_path)
+
+
+def test_url_crawl_and_exports(spark, tmp_path, corpus_path):
+    rc, out, cache = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path, "--title", "My Site",
+    )
+    assert rc == 0
+    # output dir derived from url_to_filename(first_url) (cli.py:200-207)
+    sub = os.listdir(out)
+    assert len(sub) == 1 and "example_com" in sub[0]
+    files = os.listdir(os.path.join(out, sub[0]))
+    # title -> randomstring_to_filename (cli.py:264)
+    assert "My_Site.md" in files and "My_Site.json" in files
+    md = open(os.path.join(out, sub[0], "My_Site.md"), encoding="utf-8").read()
+    assert md.startswith("# My Site\n")
+    data = json.loads(
+        open(os.path.join(out, sub[0], "My_Site.json"), encoding="utf-8").read())
+    assert data and {"url", "content", "metadata"} <= set(data[0])
+
+
+def test_no_markdown_no_json_flags(spark, tmp_path, corpus_path):
+    rc, out, _ = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path,
+        "--no-markdown", "--no-json", name="noexp",
+    )
+    sub = os.listdir(out)[0]
+    assert os.listdir(os.path.join(out, sub)) == []
+
+
+def test_urls_file_static_frontier(spark, tmp_path, corpus_path):
+    # seeding from a file disables link discovery (O9)
+    seeds_path = tmp_path / "seeds.txt"
+    url0 = corpus.seed_url()
+    seeds_path.write_text(f"{url0}\n{url0}#dup\nhttps://h0.example.com/docs/p1\n")
+    rc, out, cache = _run(
+        spark, tmp_path, "--urls-file", str(seeds_path),
+        "--corpus-parquet", corpus_path, name="file",
+    )
+    assert rc == 0
+    # only the deduped seeds were crawled — no BFS expansion
+    from crawler_to_md_spark.operators.crawl import CrawlEngine
+
+    eng = CrawlEngine(spark, os.path.join(cache, os.listdir(cache)[0]))
+    assert eng.total_link_count() == 2
+
+
+def test_overwrite_cache(spark, tmp_path, corpus_path):
+    args = ["--url", corpus.seed_url(), "--base-url", "https://h0.example.com/",
+            "--corpus-parquet", corpus_path]
+    rc, out, cache = _run(spark, tmp_path, *args, name="ow")
+    wh = os.path.join(cache, os.listdir(cache)[0])
+    marker = os.path.join(wh, "MARKER")
+    open(marker, "w").write("x")
+    # rerun without -w resumes the existing warehouse (marker survives)
+    cli.main(["--output-folder", out, "--cache-folder", cache, *args], spark=spark)
+    assert os.path.exists(marker)
+    # -w destroys and recrawls (S13, cli.py:225-231)
+    cli.main(["--output-folder", out, "--cache-folder", cache,
+              "--overwrite-cache", *args], spark=spark)
+    assert not os.path.exists(marker)
+    assert os.path.exists(os.path.join(wh, "manifest.json"))
+
+
+def test_flag_plumbing_into_config(spark, tmp_path, corpus_path, monkeypatch):
+    captured = {}
+    from crawler_to_md_spark.operators import crawl as crawl_mod
+
+    real_engine = crawl_mod.CrawlEngine
+
+    class Spy(real_engine):
+        def __init__(self, spark_, wh, corpus=None, config=None, **kw):
+            captured["config"] = config
+            super().__init__(spark_, wh, corpus=corpus, config=config, **kw)
+
+    monkeypatch.setattr(cli, "main", cli.main)  # keep ref importable
+    import crawler_to_md_spark.operators.crawl as cm
+    monkeypatch.setattr(cm, "CrawlEngine", Spy)
+    _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path,
+        "--include-url", "docs", "--exclude-url", "private",
+        "--rate-limit", "30", "--delay", "0.5", "--timeout", "7",
+        "--proxy", "http://proxy:1", "--max-retries", "2",
+        "--include", "#main", "--exclude", ".nav", name="plumb",
+    )
+    c = captured["config"]
+    assert c.include_patterns == ["docs"] and c.exclude_patterns == ["private"]
+    assert c.rate_limit == 30 and c.delay == 0.5 and c.timeout == 7
+    assert c.proxy == "http://proxy:1" and c.max_retries == 2
+    assert c.css_include == ["#main"] and c.css_exclude == [".nav"]
+    assert c.scope_base_url == "https://h0.example.com/"
+
+
+def test_seed_frame_stdin(spark, monkeypatch):
+    monkeypatch.setattr("sys.stdin", io.StringIO("https://a.com/x\nhttps://b.com/y\n"))
+    rows = seeds.seed_frame(spark, "-").orderBy("seed_seq").collect()
+    assert [r["raw"] for r in rows] == ["https://a.com/x", "https://b.com/y"]
+
+
+def test_seed_frame_file_order(spark, tmp_path):
+    p = tmp_path / "s.txt"
+    urls = [f"https://h.com/p{i}" for i in range(50)]
+    p.write_text("\n".join(urls) + "\n")
+    rows = seeds.seed_frame(spark, str(p)).orderBy("seed_seq").collect()
+    assert [r["raw"] for r in rows] == urls

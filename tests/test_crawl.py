@@ -205,3 +205,80 @@ def test_robots_gating(spark, corpus_df, tmp_path):
     eng.run()
     assert eng.links().filter(F.col("host") == "h1.example.com").count() == 0
     assert eng.links().count() > 0
+
+
+# ---------------------------------------------------------------------------
+# time-based politeness (O3/O4 — reference scraper.py:428-475 sleep math,
+# tests/test_scraper.py:1219-1280)
+# ---------------------------------------------------------------------------
+
+
+class _FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+    def sleep(self, s):
+        self.sleeps.append(s)
+        self.t += s
+
+
+def _pacer(rate_limit=0, delay=0.0):
+    from crawler_to_md_spark.operators.politeness import Pacer
+
+    clk = _FakeClock()
+    clk.sleeps = []
+    p = Pacer(rate_limit=rate_limit, delay=delay, clock=clk, sleeper=clk.sleep)
+    return p, clk
+
+
+def test_pacer_delay_math():
+    # delay=0.5 over a 7-request wave sleeps 3.5s (amortized per-request
+    # delay: reference sleeps 0.5 before each of 7 requests)
+    p, clk = _pacer(delay=0.5)
+    p.after_wave(7)
+    assert clk.sleeps == [3.5]
+    assert p.wave_budget() is None       # no rate limit -> uncapped
+
+
+def test_pacer_rate_limit_window_math():
+    # rate_limit=10/min; two waves of 5 exhaust the window instantly ->
+    # sleep the full remaining 60s (reference: sleep(60 - elapsed))
+    p, clk = _pacer(rate_limit=10)
+    assert p.wave_budget() == 10
+    p.after_wave(5)
+    assert p.wave_budget() == 5          # window half-used
+    assert clk.sleeps == []
+    clk.t += 12.0                        # 12s of crawl work elapses
+    p.after_wave(5)
+    assert clk.sleeps == [48.0]          # 60 - 12
+    assert p.wave_budget() == 10         # fresh window
+
+
+def test_pacer_no_sleep_when_window_already_elapsed():
+    p, clk = _pacer(rate_limit=4)
+    p.after_wave(2)
+    clk.t += 75.0                        # window naturally over
+    p.after_wave(2)
+    assert clk.sleeps == []              # elapsed >= 60 -> no sleep
+
+
+def test_pacer_caps_wave_size_in_engine(spark, corpus_df, tmp_path):
+    """rate_limit bounds every wave's dequeue (requests/min contract)."""
+    from crawler_to_md_spark.operators.politeness import Pacer
+
+    clk = _FakeClock()
+    clk.sleeps = []
+    cfg = CrawlConfig(scope_domain="example.com", max_retries=1, max_waves=8)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh_rl"), corpus=corpus_df, config=cfg,
+        pacer=Pacer(rate_limit=25, clock=clk, sleeper=clk.sleep),
+    )
+    eng.seed([corpus.seed_url()])
+    eng.run()
+    waves = eng.metrics().select("dequeued").collect()
+    assert all(r["dequeued"] <= 25 for r in waves)
+    # every full window triggered a sleep of <= 60s
+    assert clk.sleeps and all(0 < s <= 60.0 for s in clk.sleeps)
