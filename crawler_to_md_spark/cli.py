@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     args = parser.parse_args(argv)
     args.cache_folder = os.path.expanduser(args.cache_folder)
 
+    from crawler_to_md_spark.progress import setup_logging
+
+    setup_logging()
+
     if spark is None:
         spark = get_spark(app_name="crawler-to-md-spark", master=args.master)
 

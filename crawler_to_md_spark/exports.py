@@ -118,6 +118,49 @@ def _cleanup_str(s: str) -> str:
     return re.sub(r"\n{3,}", "\n\n", s)
 
 
+def legacy_metadata_expr(metadata_text: F.Column) -> F.Column:
+    """F13: tolerant parse of reference-era JSON-TEXT metadata
+    (export_manager.py:148-164, tested tests/test_export_manager.py:137-150).
+
+    The engine's own metadata is a typed map, but a dataset imported from
+    a reference SQLite cache carries metadata as TEXT that may be NULL,
+    the literal string ``"null"``, a non-object JSON value, or broken JSON
+    — all of which must degrade to an empty map, never an error.
+    ``from_json`` yields NULL for every malformed/non-object case, and
+    ``coalesce`` supplies the ``{}``."""
+    return F.coalesce(
+        F.from_json(metadata_text, "map<string,string>"),
+        F.create_map().cast("map<string,string>"),
+    )
+
+
+def docs_from_legacy(pages: DataFrame) -> DataFrame:
+    """Import a reference-shaped page store — ``(url TEXT, content TEXT,
+    metadata TEXT)`` rows as in database_manager.py:46-51 — into the
+    engine's docs shape.  Markdown content becomes a single paragraph span
+    (the reference never kept structure); NULL content stays NULL spans
+    (= failed page, database_manager.py:282-292)."""
+    spans = F.when(
+        F.col("content").isNotNull(),
+        F.array(
+            F.struct(
+                F.lit("paragraph").alias("kind"),
+                F.col("content").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ),
+    )
+    return pages.select(
+        "url",
+        spans.alias("spans"),
+        legacy_metadata_expr(F.col("metadata")).alias("metadata"),
+        F.when(F.col("content").isNotNull(), F.lit("ok"))
+        .otherwise(F.lit("failed")).alias("status"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sharded compiled exports (scale path: executor shard files + a driver
 # that concatenates FILES through streaming post-processors, never rows)

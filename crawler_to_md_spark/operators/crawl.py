@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions import urlkit
-from crawler_to_md_spark.functions.bloom import BloomShards
+from crawler_to_md_spark.functions.bloom import BloomShardStore
 from crawler_to_md_spark.operators import schedule
 from crawler_to_md_spark.operators.politeness import (
     Pacer,
@@ -60,7 +60,11 @@ from crawler_to_md_spark.operators.politeness import (
 )
 from crawler_to_md_spark.operators.seq import with_ordered_seq
 from crawler_to_md_spark.store.schemas import DOCS_SCHEMA, LINKS_SCHEMA, METRICS_SCHEMA
-from crawler_to_md_spark.store.warehouse import SnapshotStore
+from crawler_to_md_spark.store.warehouse import (
+    AppendUpdate,
+    BucketedUpdate,
+    SnapshotStore,
+)
 
 RETRIABLE_STATUSES = (429, 500, 502, 503, 504)  # scraper.py:101-106 forcelist
 
@@ -115,6 +119,12 @@ class CrawlConfig:
     bloom_shards: int = 32
     bloom_bits: int = 1 << 20                # per shard; power of 2
     bloom_hashes: int = 7
+    # links/docs bucket count (pmod(url_hash, B)): wave commits rewrite
+    # only buckets containing touched URLs, so per-wave write volume is
+    # O(frontier/B * touched_buckets + wave), not O(frontier).  Size B so
+    # frontier/B stays a comfortable parquet file (10^10 URLs -> B ~ 64k);
+    # local tests/bench use the default
+    store_buckets: int = 64
 
 
 class CrawlEngine:
@@ -131,7 +141,11 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
-        self.store = SnapshotStore(spark, warehouse_dir)
+        self.store = SnapshotStore(
+            spark, warehouse_dir,
+            schemas={"links": LINKS_SCHEMA, "docs": DOCS_SCHEMA,
+                     "metrics": METRICS_SCHEMA},
+        )
         self.robots = robots
         # injectable for sleep-math tests (reference scraper.py:428-475)
         self.pacer = pacer or Pacer(self.config.rate_limit, self.config.delay)
@@ -152,17 +166,13 @@ class CrawlEngine:
     def _bloom_dir(self) -> str:
         return os.path.join(self.store.dir, "bloom")
 
-    def _load_bloom(self) -> BloomShards | None:
+    def _load_bloom(self) -> BloomShardStore | None:
         if not self.config.use_bloom:
             return None
         version = self.store.lineage.get("bloom_version")
         if version is None:
             return None
-        return BloomShards.load(self._bloom_dir(), version)
-
-    def _new_bloom(self) -> BloomShards:
-        c = self.config
-        return BloomShards.empty(c.bloom_shards, c.bloom_bits, c.bloom_hashes)
+        return BloomShardStore.open(self._bloom_dir(), version)
 
     # ------------------------------------------------------------------
     # seeding (scraper.py:375-402 + utils.py:94-106 order-dedup)
@@ -219,14 +229,20 @@ class CrawlEngine:
 
         lineage: dict = {"runs": 0, "counters": {"seeds": links.count()}}
         if self.config.use_bloom:
-            bloom = self._new_bloom()
+            c = self.config
+            bloom = BloomShardStore.create(
+                self._bloom_dir(), c.bloom_shards, c.bloom_bits, c.bloom_hashes)
             bloom.add_dataframe(links)
-            bloom.save(self._bloom_dir())
             lineage["bloom_version"] = bloom.version
-        empty_docs = spark.createDataFrame([], DOCS_SCHEMA)
-        empty_metrics = spark.createDataFrame([], METRICS_SCHEMA)
+        B = self.config.store_buckets
+        all_buckets = list(range(B))
         self.store.commit(
-            {"links": links, "docs": empty_docs, "metrics": empty_metrics},
+            {
+                "links": BucketedUpdate(links, all_buckets, B),
+                "docs": BucketedUpdate(
+                    spark.createDataFrame([], DOCS_SCHEMA), all_buckets, B),
+                "metrics": AppendUpdate(spark.createDataFrame([], METRICS_SCHEMA)),
+            },
             batch_id=0,
             lineage=lineage,
         )
@@ -262,7 +278,7 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def _wave(
-        self, wave_id: int, run_id: int, bloom: BloomShards | None
+        self, wave_id: int, run_id: int, bloom: BloomShardStore | None
     ) -> tuple[int, int]:
         """Process one micro-batch; returns (urls dequeued, links inserted)."""
         cfg = self.config
@@ -372,14 +388,6 @@ class CrawlEngine:
             .alias("status"),
             F.lit(wave_id).cast("long").alias("batch_id"),
         )
-        # upsert, last-write-wins (database_manager.py:103-123; Iceberg MERGE
-        # in production — anti-join + union is the parquet equivalent)
-        docs_new = (
-            self.store.read("docs")
-            .join(docs_batch.select("url"), "url", "left_anti")
-            .unionByName(docs_batch)
-        )
-
         # ---- link discovery (one-parse: ok + empty pages) -------------
         pt.mark("discover")
         inserted = 0
@@ -405,10 +413,26 @@ class CrawlEngine:
             cand.unpersist()
         pt.mark("links_merge")
 
+        # ---- dirty buckets: touched (dequeued + inserted) URLs only ----
+        B = self.config.store_buckets
+        entry = self.store.bucket_entry("links")
+        if entry is not None:
+            B = int(entry["n_buckets"])
+        bucket_of = F.pmod(F.col("url_hash"), F.lit(B)).cast("int").alias("b")
+        dirty_df = fetched.select(bucket_of)
+        if new_links is not None:
+            dirty_df = dirty_df.union(new_links.select(bucket_of))
+        dirty = sorted({r["b"] for r in dirty_df.distinct().collect()})
+
         # ---- frontier state update (O2 + A5, one MERGE analog) --------
+        # only the dirty buckets are read back and rewritten — clean
+        # buckets carry their files forward in the manifest (Iceberg-style
+        # incremental snapshot; reference semantics: one transaction/wave,
+        # database_manager.py:319-371)
         upd = fetched.select("url", F.col("new_retry").alias("__retry"))
         links_new = (
-            links_all.join(upd, "url", "left")
+            self.store.read_buckets("links", dirty)
+            .join(upd, "url", "left")
             .select(
                 "url", "url_hash", "host",
                 (F.col("visited") | F.col("__retry").isNotNull()).alias("visited"),
@@ -418,6 +442,16 @@ class CrawlEngine:
         )
         if new_links is not None:
             links_new = links_new.unionByName(new_links)
+
+        # docs upsert, last-write-wins (database_manager.py:103-123;
+        # Iceberg MERGE in production — per-bucket anti-join + union is
+        # the parquet equivalent).  docs_batch URLs are a subset of the
+        # dequeued batch, so `dirty` covers every touched docs bucket.
+        docs_new = (
+            self.store.read_buckets("docs", dirty)
+            .join(docs_batch.select("url"), "url", "left_anti")
+            .unionByName(docs_batch)
+        )
 
         metrics_row = self.spark.createDataFrame(
             [
@@ -430,7 +464,6 @@ class CrawlEngine:
             ],
             METRICS_SCHEMA,
         )
-        metrics_new = self.store.read("metrics").unionByName(metrics_row)
 
         lineage = dict(self.store.lineage)
         counters = dict(lineage.get("counters", {}))
@@ -441,14 +474,21 @@ class CrawlEngine:
         lineage["frontier_offset"] = wave_id
         pt.mark("bloom")
         if bloom is not None and new_links is not None and inserted:
+            # executor-side shard update: durable on return, no
+            # driver-side bitmap merge or re-broadcast (bloom.py)
             bloom.add_dataframe(new_links)
-            bloom.save(self._bloom_dir())
         if bloom is not None:
             lineage["bloom_version"] = bloom.version
 
         pt.mark("commit")
         self.store.commit(
-            {"links": links_new, "docs": docs_new, "metrics": metrics_new},
+            {
+                "links": BucketedUpdate(links_new, dirty, B),
+                # docs rows carry no url_hash column; BucketedUpdate falls
+                # back to xxhash64(url) — the same key, same buckets
+                "docs": BucketedUpdate(docs_new, dirty, B),
+                "metrics": AppendUpdate(metrics_row),
+            },
             batch_id=wave_id,
             lineage=lineage,
         )
@@ -462,7 +502,7 @@ class CrawlEngine:
         return int(stats["dequeued"] or 0), inserted
 
     def _discover(
-        self, fetched: DataFrame, links_all: DataFrame, bloom: BloomShards | None
+        self, fetched: DataFrame, links_all: DataFrame, bloom: BloomShardStore | None
     ) -> tuple[DataFrame, DataFrame]:
         """Parsed pages -> (all validated+deduped candidates, unseen subset)
         via the shared scheduling operator (operators/schedule.py).
@@ -504,12 +544,24 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def _requeue(self, run_id: int) -> int:
-        """O6: failed pages with retry budget left become unvisited again."""
+        """O6: failed pages with retry budget left become unvisited again.
+        Partial commit: only buckets containing requeued URLs rewrite."""
         retriable = self.retriable_failed().select("url").persist()
         n = retriable.count()
         if n:
+            B = self.config.store_buckets
+            entry = self.store.bucket_entry("links")
+            if entry is not None:
+                B = int(entry["n_buckets"])
+            dirty = sorted({
+                r["b"]
+                for r in retriable.select(
+                    F.pmod(F.xxhash64(F.col("url")), F.lit(B))
+                    .cast("int").alias("b")
+                ).distinct().collect()
+            })
             links_new = (
-                self.store.read("links")
+                self.store.read_buckets("links", dirty)
                 .join(retriable.withColumn("__rq", F.lit(True)), "url", "left")
                 .withColumn(
                     "visited", F.col("visited") & F.col("__rq").isNull()
@@ -519,7 +571,8 @@ class CrawlEngine:
             lineage = dict(self.store.lineage)
             lineage["runs"] = run_id
             self.store.commit(
-                {"links": links_new}, batch_id=self.store.batch_id + 1,
+                {"links": BucketedUpdate(links_new, dirty, B)},
+                batch_id=self.store.batch_id + 1,
                 lineage=lineage,
             )
         retriable.unpersist()
@@ -542,11 +595,19 @@ class CrawlEngine:
         pending = (
             self.store.read("links").filter(~F.col("visited")).count()
         )
+        from crawler_to_md_spark.progress import get_logger, wave_progress
+
+        log = get_logger()
         while pending > 0 and waves < self.config.max_waves:
             n, inserted = self._wave(self.store.batch_id + 1, run_id, bloom)
             pending = pending - n + inserted
             dequeued_total += n
             waves += 1
+            counters = self.store.lineage.get("counters", {})
+            total = int(counters.get("seeds", 0)) + int(
+                counters.get("links_inserted", 0))
+            log.info(wave_progress(self.store.batch_id, n, inserted,
+                                   total - pending, total))
             if n == 0:
                 break
         lineage = dict(self.store.lineage)

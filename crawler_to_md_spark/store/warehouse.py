@@ -30,18 +30,63 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class BucketedUpdate:
+    """Partial-table commit: ``df`` holds the REPLACEMENT rows for exactly
+    the ``dirty`` buckets (bucket = ``pmod(xxhash-key, n_buckets)``); all
+    other buckets carry forward untouched — the manifest keeps pointing at
+    their existing files, exactly how an Iceberg snapshot references
+    unchanged data files.  This is what makes wave commits O(touched), not
+    O(frontier): the round-1 store rewrote the whole links/docs table
+    every wave (VERDICT "#1 scale-killer")."""
+
+    df: DataFrame
+    dirty: list[int]
+    n_buckets: int
+    key_col: str = "url_hash"
+
+    def bucket_expr(self):
+        key = (
+            F.col(self.key_col)
+            if self.key_col in self.df.columns
+            else F.xxhash64(F.col("url"))
+        )
+        return F.pmod(key, F.lit(self.n_buckets)).cast("int")
+
+
+@dataclass
+class AppendUpdate:
+    """Append-only commit (metrics): the new rows become one extra segment
+    dir; previous segments are never rewritten."""
+
+    df: DataFrame
 
 
 class SnapshotStore:
-    """Atomic multi-table snapshot commits over parquet directories."""
+    """Atomic multi-table snapshot commits over parquet directories.
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str, retain: int = 2):
+    Manifest table entries come in three shapes:
+      * ``"links/snap-00000007"`` — whole-table dir (full rewrite)
+      * ``{"kind": "bucketed", "n_buckets": B, "buckets": {"0": rel|null}}``
+      * ``{"kind": "append", "segments": [rel, ...]}``
+    ``schemas`` supplies the empty-table schema so a bucketed/append table
+    with no data files yet still reads as a typed empty DataFrame.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, retain: int = 2,
+                 schemas: dict[str, StructType] | None = None):
         self.spark = spark
         self.dir = warehouse_dir
         self.retain = max(1, retain)
+        self.schemas = schemas or {}
         self._manifest_path = os.path.join(warehouse_dir, "manifest.json")
 
     # -- state ------------------------------------------------------------
@@ -62,29 +107,74 @@ class SnapshotStore:
     def lineage(self) -> dict[str, Any]:
         return self.manifest.get("lineage", {})
 
+    def _entry_paths(self, entry) -> list[str]:
+        if isinstance(entry, str):
+            return [os.path.join(self.dir, entry)]
+        if entry.get("kind") == "bucketed":
+            return [
+                os.path.join(self.dir, rel)
+                for rel in entry["buckets"].values()
+                if rel is not None
+            ]
+        return [os.path.join(self.dir, rel) for rel in entry["segments"]]
+
     def read(self, table: str) -> DataFrame:
         """Read a table from the current snapshot (fresh scan — per-wave
         plans never accumulate lineage across waves)."""
-        rel = self.manifest["tables"][table]
-        return self.spark.read.parquet(os.path.join(self.dir, rel))
+        entry = self.manifest["tables"][table]
+        paths = self._entry_paths(entry)
+        if not paths:
+            return self.spark.createDataFrame([], self.schemas[table])
+        return self.spark.read.parquet(*paths)
+
+    def read_buckets(self, table: str, buckets: list[int]) -> DataFrame:
+        """Read only the given buckets of a bucketed table (the dirty
+        subset a wave is about to replace)."""
+        entry = self.manifest["tables"][table]
+        if isinstance(entry, str):        # still a whole-table dir
+            return self.read(table)
+        paths = [
+            os.path.join(self.dir, rel)
+            for b in buckets
+            if (rel := entry["buckets"].get(str(b))) is not None
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self.schemas[table])
+        return self.spark.read.parquet(*paths)
+
+    def bucket_entry(self, table: str) -> dict | None:
+        entry = self.manifest["tables"].get(table)
+        return entry if isinstance(entry, dict) and entry.get("kind") == "bucketed" else None
 
     # -- commits ----------------------------------------------------------
 
     def commit(
         self,
-        tables: dict[str, DataFrame],
+        tables: "dict[str, DataFrame | BucketedUpdate | AppendUpdate]",
         batch_id: int,
         lineage: dict[str, Any] | None = None,
     ) -> None:
         """Write ``tables`` as snapshot ``batch_id`` and atomically advance
         the manifest.  Tables not in ``tables`` carry their previous snapshot
-        forward (no rewrite)."""
+        forward (no rewrite); BucketedUpdate rewrites only dirty buckets;
+        AppendUpdate adds one segment."""
         prev = self.manifest if self.exists() else {"tables": {}, "history": []}
         new_tables = dict(prev["tables"])
-        for name, df in tables.items():
-            rel = f"{name}/snap-{batch_id:08d}"
-            df.write.mode("overwrite").parquet(os.path.join(self.dir, rel))
-            new_tables[name] = rel
+        for name, upd in tables.items():
+            if isinstance(upd, BucketedUpdate):
+                new_tables[name] = self._write_buckets(name, upd, batch_id,
+                                                       prev["tables"].get(name))
+            elif isinstance(upd, AppendUpdate):
+                rel = f"{name}/snap-{batch_id:08d}"
+                upd.df.write.mode("overwrite").parquet(os.path.join(self.dir, rel))
+                old = prev["tables"].get(name)
+                segments = list(old["segments"]) if isinstance(old, dict) else (
+                    [old] if old else [])
+                new_tables[name] = {"kind": "append", "segments": segments + [rel]}
+            else:
+                rel = f"{name}/snap-{batch_id:08d}"
+                upd.write.mode("overwrite").parquet(os.path.join(self.dir, rel))
+                new_tables[name] = rel
 
         manifest = {
             "batch_id": batch_id,
@@ -106,19 +196,61 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path)
         self._gc(manifest)
 
+    @staticmethod
+    def _entry_rels(entry) -> list[str]:
+        if isinstance(entry, str):
+            return [entry]
+        if entry.get("kind") == "bucketed":
+            return [rel for rel in entry["buckets"].values() if rel is not None]
+        return list(entry["segments"])
+
+    def _write_buckets(self, name: str, upd: BucketedUpdate, batch_id: int,
+                       old_entry) -> dict:
+        """One shuffle by bucket id, one parquet dir per dirty bucket under
+        this snapshot; clean buckets keep their previous dirs."""
+        rel = f"{name}/snap-{batch_id:08d}"
+        dirty_set = [int(b) for b in upd.dirty]
+        (
+            upd.df.withColumn("__b", upd.bucket_expr())
+            # guard: rows outside the declared dirty set would be written
+            # but unreferenced (a silent split-brain) — drop them here
+            .filter(F.col("__b").isin(dirty_set))
+            .repartition("__b")          # one writer per bucket, no file spray
+            .write.partitionBy("__b")
+            .mode("overwrite")
+            .parquet(os.path.join(self.dir, rel))
+        )
+        if isinstance(old_entry, dict) and old_entry.get("kind") == "bucketed":
+            buckets = dict(old_entry["buckets"])
+        else:
+            # first bucketed commit for this table: it must cover everything
+            buckets = {str(b): None for b in range(upd.n_buckets)}
+        for b in upd.dirty:
+            bdir = f"{rel}/__b={b}"
+            buckets[str(b)] = (
+                bdir if os.path.isdir(os.path.join(self.dir, bdir)) else None
+            )
+        return {"kind": "bucketed", "n_buckets": upd.n_buckets,
+                "buckets": buckets}
+
     def _gc(self, manifest: dict[str, Any]) -> None:
         """Delete snapshot dirs referenced by neither the live manifest nor
-        retained history entries."""
-        live: set[str] = set(manifest["tables"].values())
+        retained history entries.  Bucketed/append rels point INSIDE snap
+        dirs — a snap dir stays live while any bucket or segment in it is
+        referenced."""
+        live: set[str] = set()
+        for entry in manifest["tables"].values():
+            live.update(self._entry_rels(entry))
         for h in manifest["history"]:
-            live.update(h["tables"].values())
+            for entry in h["tables"].values():
+                live.update(self._entry_rels(entry))
+        live_snaps = {"/".join(rel.split("/")[:2]) for rel in live}
         for table in {rel.split("/", 1)[0] for rel in live}:
             tdir = os.path.join(self.dir, table)
             if not os.path.isdir(tdir):
                 continue
             for snap in os.listdir(tdir):
-                rel = f"{table}/{snap}"
-                if rel not in live:
+                if f"{table}/{snap}" not in live_snaps:
                     shutil.rmtree(os.path.join(tdir, snap), ignore_errors=True)
 
     def rollback(self) -> None:

@@ -195,3 +195,67 @@ def test_robots_filter_blocks_prefixes(spark):
     kept = {r["url"] for r in robots_filter(batch, robots).collect()}
     # h1 has no robots row -> allowed; h0 /private blocked
     assert kept == {"https://h0/docs/a", "https://h1/private/y"}
+
+
+# ---------------------------------------------------------------------------
+# executor-side shard files (BloomShardStore — the scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_shardstore_no_false_negatives_and_fp_rate(spark, hashed, tmp_path):
+    from crawler_to_md_spark.functions.bloom import BloomShardStore
+
+    st = BloomShardStore.create(str(tmp_path / "bloom"), num_shards=8,
+                                m_bits=1 << 16, num_hashes=5)
+    st.add_dataframe(hashed)
+    got = hashed.withColumn("m", st.might_contain_udf(spark)(F.col("url_hash")))
+    assert got.filter(~F.col("m")).count() == 0
+    unseen = spark.range(2000, 12000).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"))
+    fp = unseen.withColumn(
+        "m", st.might_contain_udf(spark)(F.col("url_hash"))).filter("m").count()
+    assert fp / 10000 < 0.02
+
+
+def test_shardstore_incremental_versions_and_reopen(spark, hashed, tmp_path):
+    """Per-wave updates bump only touched shards; reopening an OLD version
+    must not see newer URLs (snapshot lineage pins bloom_version)."""
+    from crawler_to_md_spark.functions.bloom import BloomShardStore
+
+    d = str(tmp_path / "bloom")
+    st = BloomShardStore.create(d, num_shards=8, m_bits=1 << 16, num_hashes=5)
+    first = hashed.limit(500)
+    st.add_dataframe(first)
+    v1 = st.version
+    assert v1 == 1
+    more = spark.range(50000, 50200).select(
+        F.xxhash64(F.concat(F.lit("x"), F.col("id"))).alias("url_hash"))
+    st.add_dataframe(more)
+    assert st.version == 2
+    # new version sees both sets
+    st2 = BloomShardStore.open(d, 2)
+    assert more.withColumn(
+        "m", st2.might_contain_udf(spark)(F.col("url_hash"))
+    ).filter(~F.col("m")).count() == 0
+    # old version: none of `more` was ever added -> mostly negative
+    st1 = BloomShardStore.open(d, v1)
+    pos = more.withColumn(
+        "m", st1.might_contain_udf(spark)(F.col("url_hash"))
+    ).filter("m").count()
+    assert pos < 20
+    # shard files are versioned, not overwritten in place
+    files = sorted(os.listdir(d))
+    assert any("-v00000001" in f for f in files)
+    assert any("-v00000002" in f for f in files)
+
+
+def test_shardstore_update_touches_only_dirty_shards(spark, tmp_path):
+    from crawler_to_md_spark.functions.bloom import BloomShardStore
+
+    d = str(tmp_path / "bloom")
+    st = BloomShardStore.create(d, num_shards=8, m_bits=1 << 16, num_hashes=5)
+    # hashes all congruent to one shard
+    one = spark.range(200).select((F.col("id") * 8 + 3).alias("url_hash"))
+    st.add_dataframe(one)
+    assert st.shard_versions[3] == 1
+    assert all(v == 0 for s, v in st.shard_versions.items() if s != 3)

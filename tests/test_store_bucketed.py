@@ -1,0 +1,134 @@
+"""Bucketed snapshot-store tests: wave commits must rewrite only buckets
+containing touched rows (VERDICT round-1 '#1 scale-killer': every wave
+rewrote the whole links/docs table)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.store.schemas import LINKS_SCHEMA, METRICS_SCHEMA
+from crawler_to_md_spark.store.warehouse import (
+    AppendUpdate,
+    BucketedUpdate,
+    SnapshotStore,
+)
+
+B = 8
+
+
+def _links_df(spark, urls, visited=False):
+    base = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(urls)], "url string, seq long")
+    return base.select(
+        "url", F.xxhash64("url").alias("url_hash"), F.lit("h").alias("host"),
+        F.lit(visited).alias("visited"),
+        F.lit(0).cast("int").alias("retry_count"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(0).cast("long").alias("batch_id"), "seq",
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "wh"),
+                         schemas={"links": LINKS_SCHEMA,
+                                  "metrics": METRICS_SCHEMA})
+
+
+def test_partial_commit_rewrites_only_dirty_buckets(spark, store):
+    base = _links_df(spark, [f"https://h/p{i}" for i in range(200)])
+    store.commit({"links": BucketedUpdate(base, list(range(B)), B)}, batch_id=0)
+    entry0 = store.bucket_entry("links")
+    assert entry0 and entry0["n_buckets"] == B
+    assert store.read("links").count() == 200
+
+    # touch exactly the rows of one bucket
+    target = 3
+    touched = store.read_buckets("links", [target]).withColumn(
+        "visited", F.lit(True))
+    n_touched = touched.count()
+    assert 0 < n_touched < 200
+    store.commit({"links": BucketedUpdate(touched, [target], B)}, batch_id=1)
+
+    entry1 = store.bucket_entry("links")
+    # only the dirty bucket points at the new snapshot
+    moved = [b for b in map(str, range(B))
+             if entry1["buckets"][b] != entry0["buckets"][b]]
+    assert moved == [str(target)]
+    assert entry1["buckets"][str(target)].startswith("links/snap-00000001")
+    # the new snap dir contains ONLY that bucket
+    snap1 = os.path.join(store.dir, "links", "snap-00000001")
+    assert [d for d in sorted(os.listdir(snap1)) if d.startswith("__b=")] == [
+        f"__b={target}"]
+    # logical content correct: total rows unchanged, visited only in bucket
+    assert store.read("links").count() == 200
+    assert store.read("links").filter("visited").count() == n_touched
+
+
+def test_rows_outside_dirty_set_are_dropped_not_split_brained(spark, store):
+    base = _links_df(spark, [f"https://h/p{i}" for i in range(50)])
+    store.commit({"links": BucketedUpdate(base, list(range(B)), B)}, batch_id=0)
+    # declare only bucket 0 dirty but hand the full table as replacement:
+    # rows landing in other buckets must be ignored (guard filter), so
+    # every non-dirty bucket keeps exactly its previous content
+    upd = store.read("links").withColumn("visited", F.lit(True))
+    store.commit({"links": BucketedUpdate(upd, [0], B)}, batch_id=1)
+    got = store.read("links")
+    assert got.count() == 50
+    b0 = got.filter(F.pmod(F.col("url_hash"), F.lit(B)) == 0).count()
+    assert got.filter("visited").count() == b0
+
+
+def test_append_only_metrics_segments(spark, store):
+    for i in range(3):
+        row = spark.createDataFrame([(i, 1, 1, 1, 0, 0, 0, 0)], METRICS_SCHEMA)
+        store.commit({"metrics": AppendUpdate(row)}, batch_id=i)
+    entry = store.manifest["tables"]["metrics"]
+    assert entry["kind"] == "append" and len(entry["segments"]) == 3
+    assert store.read("metrics").count() == 3
+
+
+def test_empty_bucketed_table_reads_with_schema(spark, store):
+    empty = spark.createDataFrame([], LINKS_SCHEMA)
+    store.commit({"links": BucketedUpdate(empty, list(range(B)), B)}, batch_id=0)
+    df = store.read("links")
+    assert df.count() == 0 and df.schema == LINKS_SCHEMA
+
+
+def test_gc_keeps_carried_forward_buckets(spark, store):
+    base = _links_df(spark, [f"https://h/p{i}" for i in range(100)])
+    store.commit({"links": BucketedUpdate(base, list(range(B)), B)}, batch_id=0)
+    # many partial commits; retain=2 history — snap-0 bucket dirs must
+    # survive as long as the live manifest references them
+    for k in range(1, 5):
+        touched = store.read_buckets("links", [k % B]).withColumn(
+            "visited", F.lit(True))
+        store.commit({"links": BucketedUpdate(touched, [k % B], B)}, batch_id=k)
+    assert store.read("links").count() == 100
+    # snapshot-0 dir still exists (most buckets never rewritten)
+    assert os.path.isdir(os.path.join(store.dir, "links", "snap-00000000"))
+
+
+def test_engine_wave_commits_are_incremental(spark, tmp_path):
+    """After a multi-wave crawl, the live links entry must reference
+    bucket dirs from SEVERAL snapshots — proof that waves carried clean
+    buckets forward instead of rewriting the table."""
+    from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+    from crawler_to_md_spark.sources import corpus
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"),
+        corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001", replicas=1),
+        config=CrawlConfig(scope_domain="example.com", max_retries=1,
+                           store_buckets=512, global_budget=40),
+    )
+    eng.seed([corpus.seed_url()])
+    eng.run()
+    entry = eng.store.bucket_entry("links")
+    snaps = {rel.split("/")[1] for rel in entry["buckets"].values() if rel}
+    assert len(snaps) > 2, snaps
+    # and the crawl state is intact
+    assert eng.links().count() == eng.links().select("url").distinct().count()
