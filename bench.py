@@ -202,10 +202,12 @@ def stage_extract(spark, sf_dir) -> dict:
     )
     n = docs.count()
     extract = make_extract_udf()
-    t0 = time.time()
-    out = docs.select(extract(F.col("html")).alias("e"))
-    n_spans = out.select(F.sum(F.size("e.spans"))).collect()[0][0]
-    elapsed = time.time() - t0
+    # first iteration warms JIT + python workers; the second is reported
+    for _ in range(2):
+        t0 = time.time()
+        out = docs.select(extract(F.col("html")).alias("e"))
+        n_spans = out.select(F.sum(F.size("e.spans"))).collect()[0][0]
+        elapsed = time.time() - t0
     docs.unpersist()
     return {"sec": elapsed, "pages": n, "spans": int(n_spans),
             "pages_per_sec": n / elapsed}
@@ -221,14 +223,15 @@ def stage_export(spark, sf_dir) -> dict:
 
     docs = _corpus(spark, sf_dir).filter("cls = 'ok'").select("url", "spans").persist()
     n = docs.count()
-    t0 = time.time()
-    rendered = docs.select(
-        minify_markdown_udf(
-            F.expr(spans_to_markdown_expr("spans"))
-        ).alias("md")
-    )
-    total = rendered.select(F.sum(F.length("md"))).collect()[0][0]
-    elapsed = time.time() - t0
+    for _ in range(2):   # warm JIT + python workers; report second pass
+        t0 = time.time()
+        rendered = docs.select(
+            minify_markdown_udf(
+                F.expr(spans_to_markdown_expr("spans"))
+            ).alias("md")
+        )
+        total = rendered.select(F.sum(F.length("md"))).collect()[0][0]
+        elapsed = time.time() - t0
     docs.unpersist()
     return {"sec": elapsed, "pages": n, "md_bytes": int(total),
             "pages_per_sec": n / elapsed}
@@ -254,10 +257,15 @@ STAGES = {
 SCALING_VARIANTS = os.environ.get("CMS_SCALING_VARIANTS", "3000")
 
 
-def run_child(stage: str, cpus: str, sf_dir: str, master: str | None = None
-              ) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=sf_dir,
-               CMS_SCHED_VARIANTS=SCALING_VARIANTS)
+def run_child(stage: str, cpus: str, sf_dir: str, master: str | None = None,
+              variants: str | None = None) -> dict:
+    """One stage in a FRESH subprocess JVM.  Scaling children pass the
+    megawave ``variants``; stage-phase children inherit the default.  The
+    parent never holds a SparkSession while children run — a dormant 24g
+    parent JVM measurably slowed the 8-core scaling child ~25%."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=sf_dir)
+    if variants is not None:
+        env["CMS_SCHED_VARIANTS"] = variants
     if master:
         env["SPARK_GRAFT_MASTER"] = master
     out = subprocess.run(
@@ -285,7 +293,8 @@ def scaling_report(sf_dir: str, lo: str = "2", hi: str = "8",
     levels too rather than hiding them."""
     best: dict[str, dict] = {}
     for cpus in (lo, hi):
-        runs = [run_child("schedule", cpus, sf_dir) for _ in range(repeats)]
+        runs = [run_child("schedule", cpus, sf_dir,
+                          variants=SCALING_VARIANTS) for _ in range(repeats)]
         best[cpus] = min(runs, key=lambda r: r["sec"])
     factor = int(hi) / int(lo)
     eff = (best[hi]["urls_per_sec"] / best[lo]["urls_per_sec"]) / factor
@@ -307,19 +316,69 @@ def supplementary_scaling(sf_dir: str) -> dict:
     executors).  Neither can beat the machine's bandwidth ceiling; both
     are reported as measured."""
     out: dict[str, dict] = {}
-    r8 = run_child("schedule", "8", sf_dir)
-    r32 = run_child("schedule", "32", sf_dir)
+    r8 = run_child("schedule", "8", sf_dir, variants=SCALING_VARIANTS)
+    r32 = run_child("schedule", "32", sf_dir, variants=SCALING_VARIANTS)
     out["local_8_to_32"] = {
         "urls_per_sec": [r8["urls_per_sec"], r32["urls_per_sec"]],
         "efficiency": (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4,
     }
-    lc1 = run_child("schedule", "8", sf_dir, master="local-cluster[1,8,14336]")
-    lc4 = run_child("schedule", "32", sf_dir, master="local-cluster[4,8,14336]")
+    lc1 = run_child("schedule", "8", sf_dir, master="local-cluster[1,8,14336]",
+                    variants=SCALING_VARIANTS)
+    lc4 = run_child("schedule", "32", sf_dir, master="local-cluster[4,8,14336]",
+                    variants=SCALING_VARIANTS)
     out["executors_1x8_to_4x8"] = {
         "urls_per_sec": [lc1["urls_per_sec"], lc4["urls_per_sec"]],
         "efficiency": (lc4["urls_per_sec"] / lc1["urls_per_sec"]) / 4,
     }
     return out
+
+
+def machine_ceiling() -> dict:
+    """What THIS box can scale, independent of Spark (--machine-ceiling):
+    (a) pure-CPU multiprocess integer loop at 8 and 32 procs, (b) aggregate
+    streaming memory bandwidth at 8/16/32 procs.  These bound any workload's
+    achievable 8->32 efficiency and justify the 2->8 headline protocol."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        x, n = 1, 0
+        t0 = time.time()
+        while time.time() - t0 < 3.0:
+            for _ in range(100000):
+                x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+            n += 100000
+        q.put(n)
+
+    def stream(q):
+        a = np.ones(64 * 131072, dtype=np.float64)
+        b = np.empty_like(a)
+        np.copyto(b, a)          # warm: fault the pages outside the window
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 3.0:
+            np.copyto(b, a)
+            b *= 1.0000001
+            n += 2 * a.nbytes
+        q.put(n / (time.time() - t0))
+
+    def run(fn, procs):
+        q = mp.Queue()
+        ps = [mp.Process(target=fn, args=(q,)) for _ in range(procs)]
+        [p.start() for p in ps]
+        total = sum(q.get() for _ in ps)
+        [p.join() for p in ps]
+        return total
+
+    cpu = {p: run(burn, p) / 3.0 / 1e6 for p in (8, 32)}
+    bw = {p: run(stream, p) / 1e9 for p in (8, 16, 32)}
+    return {
+        "cpu_m_iter_per_sec": cpu,
+        "cpu_8_to_32_efficiency": (cpu[32] / cpu[8]) / 4,
+        "memory_bandwidth_gb_per_sec": bw,
+        "bandwidth_8_to_32_ratio": bw[32] / bw[8],
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -335,19 +394,27 @@ def main() -> None:
     ap.add_argument("--no-scaling", dest="scaling", action="store_false")
     ap.add_argument("--full-scaling", action="store_true", default=False,
                     help="also run 8->32 and multi-process executor levels")
+    ap.add_argument("--machine-ceiling", action="store_true", default=False,
+                    help="print machine CPU/bandwidth scaling bounds and exit")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
+
+    if args.machine_ceiling:
+        print(json.dumps(machine_ceiling()))
+        return
 
     if args.child:
         spark = _spark(CPUS)
         print(json.dumps(STAGES[args.child](spark, args.sf_dir)))
         return
 
-    spark = _spark(CPUS)
+    # each stage runs in its own subprocess JVM so no stage (or the
+    # scaling children after them) inherits another's committed heap,
+    # caches, or GC state
     queries: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name, fn in STAGES.items():
-        r = fn(spark, args.sf_dir)
+    for name in STAGES:
+        r = run_child(name, CPUS, args.sf_dir)
         queries[f"q_{name}"] = round(r["sec"], 3)
         detail[f"q_{name}"] = {k: (round(v, 3) if isinstance(v, float) else v)
                                for k, v in r.items()}

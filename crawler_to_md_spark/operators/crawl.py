@@ -284,6 +284,11 @@ class CrawlEngine:
         cfg = self.config
         pt = _phase_timer(wave_id)
         pt.mark("fetch+stats")
+        B = cfg.store_buckets
+        entry = self.store.bucket_entry("links")
+        if entry is not None:
+            B = int(entry["n_buckets"])
+        bucket_of = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
         links_all = self.store.read("links")
         pending = links_all.filter(~F.col("visited")).withColumn(
             "priority", F.col("depth")
@@ -348,6 +353,9 @@ class CrawlEngine:
             F.sum(
                 F.col("outcome").isin("http_skip", "nonhtml_skip").cast("long")
             ).alias("skipped"),
+            # dirty-bucket probe folded into the stats pass (was its own
+            # distinct().collect() job per wave)
+            F.collect_set(bucket_of).alias("dirty_buckets"),
         ).collect()[0]
         pt.mark("docs_plan")
 
@@ -393,6 +401,7 @@ class CrawlEngine:
         inserted = 0
         discovered = 0
         new_links = None
+        dirty_set = set(stats["dirty_buckets"] or [])
         if cfg.discover_links:
             cand_all, cand = self._discover(fetched, links_all, bloom)
             cand = cand.persist()   # seq runs 3 jobs over it; evaluate once
@@ -408,21 +417,17 @@ class CrawlEngine:
                 ),
                 ["url"],
             ).select(*LINKS_SCHEMA.fieldNames()).persist()
-            inserted = new_links.count()
+            # count + dirty buckets of the inserts in ONE pass
+            ins = new_links.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(bucket_of).alias("dirty_buckets"),
+            ).collect()[0]
+            inserted = int(ins["n"])
+            dirty_set |= set(ins["dirty_buckets"] or [])
             cand_all.unpersist()
             cand.unpersist()
         pt.mark("links_merge")
-
-        # ---- dirty buckets: touched (dequeued + inserted) URLs only ----
-        B = self.config.store_buckets
-        entry = self.store.bucket_entry("links")
-        if entry is not None:
-            B = int(entry["n_buckets"])
-        bucket_of = F.pmod(F.col("url_hash"), F.lit(B)).cast("int").alias("b")
-        dirty_df = fetched.select(bucket_of)
-        if new_links is not None:
-            dirty_df = dirty_df.union(new_links.select(bucket_of))
-        dirty = sorted({r["b"] for r in dirty_df.distinct().collect()})
+        dirty = sorted(dirty_set)
 
         # ---- frontier state update (O2 + A5, one MERGE analog) --------
         # only the dirty buckets are read back and rewritten — clean

@@ -1,0 +1,231 @@
+"""Structured Streaming frontier tests.
+
+Covers: foreachBatch scheduling equals the batch schedule chain applied
+arrival-group by arrival-group (cross-batch dedup through the committed
+seen set), epoch-replay idempotence, watermarked per-host request windows,
+and the stateful admission operator's cross-batch budget."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators import schedule
+from crawler_to_md_spark.store.schemas import LINKS_SCHEMA
+from crawler_to_md_spark.store.warehouse import SnapshotStore
+from crawler_to_md_spark.streaming import frontier
+
+
+def _mk_candidates(spark):
+    """Three arrival groups; url u3 appears in groups 0 and 2 (cross-batch
+    dupe), u1 twice within group 0 (intra-batch dupe), plus junk."""
+    rows = [
+        # grp, page_url, href, parent_depth
+        (0, "https://h0.example.com/a", "https://h0.example.com/u1", 0),
+        (0, "https://h0.example.com/b", "/u1", 2),             # same as u1
+        (0, "https://h0.example.com/a", "u3", 1),
+        (0, "https://h0.example.com/a", "mailto:x@y.z", 0),    # junk
+        (1, "https://h1.example.com/c", "https://h1.example.com/u2#frag", 3),
+        (2, "https://h0.example.com/d", "/u3", 5),             # dupe of grp 0
+        (2, "https://h2.example.com/e", "https://h2.example.com/u4", 1),
+    ]
+    return spark.createDataFrame(
+        rows, "grp int, page_url string, href string, parent_depth int"
+    )
+
+
+def _run_stream(spark, tmp_path, host_budget=None):
+    in_dir = str(tmp_path / "arrivals")
+    os.makedirs(in_dir, exist_ok=True)
+    frontier.write_candidate_arrivals(
+        spark, _mk_candidates(spark), in_dir
+    )
+    store = SnapshotStore(
+        spark, str(tmp_path / "wh"), schemas={"links": LINKS_SCHEMA}
+    )
+    sched = frontier.StreamingScheduler(
+        store, store_buckets=8, host_budget=host_budget
+    )
+    q = sched.start(
+        frontier.read_candidate_stream(spark, in_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    return store, sched, in_dir
+
+
+def test_stream_schedule_matches_batchwise_reference(spark, tmp_path):
+    store, _, _ = _run_stream(spark, tmp_path)
+    got = {
+        (r["url"], r["depth"], r["batch_id"])
+        for r in store.read("links").collect()
+    }
+    # reference semantics: per-group dedup w/ min parent depth, first
+    # arrival group wins across groups
+    assert got == {
+        ("https://h0.example.com/u1", 1, 0),   # min(0,2)+1
+        ("https://h0.example.com/u3", 2, 0),   # relative href vs page /a
+        ("https://h1.example.com/u2", 4, 1),   # fragment stripped
+        ("https://h2.example.com/u4", 2, 2),   # u3 re-arrival deduped
+    }
+    # seq is dense 0-based within each commit (order key = (batch_id, seq))
+    rows = store.read("links").collect()
+    by_batch: dict[int, list[int]] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r["seq"])
+    for seqs in by_batch.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    store, sched, in_dir = _run_stream(spark, tmp_path)
+    before = sorted(
+        (r["url"], r["seq"]) for r in store.read("links").collect()
+    )
+    batch0 = spark.createDataFrame(
+        [("https://h0.example.com/a", "https://h0.example.com/u1", 0)],
+        "page_url string, href string, parent_depth int",
+    )
+    # replay an old epoch directly (what foreachBatch does after failure)
+    sched.process_batch(batch0, 0)
+    after = sorted((r["url"], r["seq"]) for r in store.read("links").collect())
+    assert after == before
+
+
+def test_stream_matches_batch_operator_per_group(spark, tmp_path):
+    """The streamed frontier equals applying the BATCH schedule operator
+    group-by-group against the accumulating seen set."""
+    store, _, _ = _run_stream(spark, tmp_path)
+    cand = _mk_candidates(spark)
+    seen = spark.createDataFrame([], LINKS_SCHEMA)
+    expect = set()
+    for g in (0, 1, 2):
+        raw = cand.filter(F.col("grp") == g).drop("grp")
+        _, unseen = schedule.schedule_candidates(raw, seen)
+        rows = unseen.select("url", "depth").collect()
+        expect |= {(r["url"], r["depth"], g) for r in rows}
+        seen = seen.unionByName(
+            spark.createDataFrame(
+                [
+                    (r["url"], 0, "h", False, 0, r["depth"], g, 0)
+                    for r in rows
+                ],
+                LINKS_SCHEMA,
+            ).withColumn("url_hash", F.xxhash64("url"))
+            .select(*LINKS_SCHEMA.fieldNames())
+        )
+    got = {
+        (r["url"], r["depth"], r["batch_id"])
+        for r in store.read("links").collect()
+    }
+    assert got == expect
+
+
+def test_stream_host_budget_caps_per_batch(spark, tmp_path):
+    store, _, _ = _run_stream(spark, tmp_path, host_budget=1)
+    per = (
+        store.read("links")
+        .groupBy("host", "batch_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 1 for r in per)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2026, 1, 1, 12, minute, second)
+
+
+def test_host_request_windows_batch_semantics(spark):
+    log = spark.createDataFrame(
+        [
+            ("h0", "u1", _ts(0, 10)),
+            ("h0", "u2", _ts(0, 50)),
+            ("h0", "u3", _ts(1, 5)),
+            ("h1", "u4", _ts(0, 30)),
+        ],
+        frontier.FETCH_LOG_SCHEMA,
+    )
+    out = {
+        (r["host"], r["window_start"].minute, r["requests"])
+        for r in frontier.host_request_windows(log).collect()
+    }
+    assert out == {("h0", 0, 2), ("h0", 1, 1), ("h1", 0, 1)}
+
+
+def test_host_request_windows_streaming_with_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "log")
+    os.makedirs(in_dir, exist_ok=True)
+    log = spark.createDataFrame(
+        [("h0", "u1", _ts(0, 10)), ("h0", "u2", _ts(0, 20)),
+         ("h1", "u3", _ts(0, 40))],
+        frontier.FETCH_LOG_SCHEMA,
+    )
+    log.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(frontier.FETCH_LOG_SCHEMA).parquet(in_dir)
+    )
+    q = (
+        frontier.host_request_windows(stream, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        (r["host"], r["requests"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    assert out == {("h0", 2), ("h1", 1)}
+
+
+def test_stateful_admission_budget_spans_micro_batches(spark, tmp_path):
+    """rate_limit=2/60s per host; 3 requests for h0 in the same window split
+    across two micro-batches -> the third is rejected because GroupState
+    carries (window_start, sent) across the batch boundary."""
+    in_dir = str(tmp_path / "req")
+    os.makedirs(in_dir, exist_ok=True)
+    b0 = spark.createDataFrame(
+        [("h0", "u1", _ts(0, 5)), ("h0", "u2", _ts(0, 10)),
+         ("h1", "u5", _ts(0, 7))],
+        frontier.FETCH_LOG_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [("h0", "u3", _ts(0, 30)),          # same 60s window -> rejected
+         ("h0", "u4", _ts(2, 0)),           # new window -> admitted
+         ("h1", "u6", _ts(0, 50))],         # h1 budget not exhausted
+        frontier.FETCH_LOG_SCHEMA,
+    )
+    for i, b in enumerate((b0, b1)):
+        tmp = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"req-{i:04d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(frontier.FETCH_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        frontier.stateful_host_admission(stream, rate_limit=2)
+        .writeStream.format("memory")
+        .queryName("admissions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["url"]: r["admitted"]
+        for r in spark.sql("select * from admissions").collect()
+    }
+    assert got == {"u1": True, "u2": True, "u5": True,
+                   "u3": False, "u4": True, "u6": True}
