@@ -306,6 +306,82 @@ def _q_media_features(spark, sf_dir):
         "doc_id", "media_type", "n_bytes", "width", "height")
 
 
+def _q_ngram_jaccard_dups(spark, sf_dir):
+    """Exact character-5-gram Jaccard dedup (inverted index, no sketch).
+    max_df=None -> exactly the brute-force oracle; production sets max_df
+    to cut boilerplate grams (see operators/dedup.py)."""
+    return dedup.ngram_jaccard_dups(dedup.dup_corpus(_docs(spark, sf_dir)),
+                                    threshold=0.5)
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup over a planted-duplicate corpus: banded
+    sign-projection LSH candidates (exact for hamming <= 8 by pigeonhole)
+    + exact cosine verify; equals the all-pairs DuckDB ground truth."""
+    return similarity.embedding_near_dups(
+        similarity.dup_embedding_corpus(_emb(spark, sf_dir)),
+        EMB_DIM, threshold=0.9, max_hamming=8)
+
+
+# -- streaming frontier (Structured Streaming, deterministic replay) --------
+
+_STREAM_RESULTS: dict[str, DataFrame] = {}
+
+STREAM_GROUPS = 3  # arrival groups -> micro-batch epochs (page_id % 3)
+
+
+def _q_stream_schedule(spark, sf_dir):
+    """The scheduling chain as a Structured Stream: corpus link candidates
+    arrive in 3 deterministic waves (page_id % 3 -> one file -> one
+    micro-batch each, maxFilesPerTrigger=1), each epoch runs the batch
+    schedule chain vs the committed seen set and lands an atomic snapshot
+    commit.  Result: every scheduled URL with the epoch that first admitted
+    it — SQL-expressible as min(arrival group) per canonical dst URL, so
+    the exactly-once dedup ACROSS micro-batches is what the oracle checks.
+    """
+    got = _STREAM_RESULTS.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+    import tempfile
+
+    from crawler_to_md_spark.streaming import frontier as sf
+
+    work = tempfile.mkdtemp(prefix="entry_stream_")
+    arrivals = os.path.join(work, "arrivals")
+    os.makedirs(arrivals, exist_ok=True)
+    cands = (
+        _corpus_df(spark, sf_dir)
+        .filter(F.col("cls").isin(*corpus.PARSED_CLASSES))
+        .select(
+            F.col("url").alias("page_url"),
+            F.explode(F.filter(F.col("spans"),
+                               lambda s: s["kind"] == F.lit("link"))).alias("s"),
+            F.pmod(F.col("page_id"), F.lit(STREAM_GROUPS)).cast("int").alias("grp"),
+        )
+        .select("page_url", F.col("s.media_ref").alias("href"),
+                F.lit(0).cast("int").alias("parent_depth"), "grp")
+    )
+    sf.write_candidate_arrivals(spark, cands, arrivals)
+    from crawler_to_md_spark.store.schemas import LINKS_SCHEMA
+    from crawler_to_md_spark.store.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, os.path.join(work, "wh"),
+                          schemas={"links": LINKS_SCHEMA})
+    sched = sf.StreamingScheduler(store, scope_domain="example.com",
+                                  store_buckets=16)
+    q = sched.start(
+        sf.read_candidate_stream(spark, arrivals, max_files_per_trigger=1),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    out = store.read("links").select(
+        "url", "host", F.col("batch_id").cast("long").alias("epoch"))
+    _STREAM_RESULTS[sf_dir] = out
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_class_histogram": _q_corpus_class_histogram,
@@ -330,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "stream_schedule": _q_stream_schedule,
     }
 
 
@@ -494,4 +573,19 @@ def oracle_sql() -> dict[str, str]:
             EMB_DIM, max_hamming=8),
         "media_stats": multimodal.duck_media_stats_sql(),
         "media_features": multimodal.duck_media_features_sql(),
+        "ngram_jaccard_dups": dedup.duck_ngram_jaccard_sql(threshold=0.5),
+        "embedding_near_dups": similarity.duck_embedding_near_dups_sql(
+            EMB_DIM, threshold=0.9),
+        "stream_schedule": f"""
+            {_meta_cte()},
+            first_seen AS (
+                SELECT e.dst, CAST(min(e.src % {STREAM_GROUPS}) AS BIGINT)
+                       AS epoch
+                FROM corpus_edges e GROUP BY e.dst
+            )
+            SELECT {_sql_url('f.dst')} AS url,
+                   {corpus.HOST_SQL.format(g='f.dst')} AS host,
+                   f.epoch
+            FROM first_seen f
+        """,
     }

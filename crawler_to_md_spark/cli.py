@@ -20,8 +20,8 @@ Differences forced by the engine being distributed + sandboxed:
     file); ``--overwrite-cache`` removes the warehouse dir.
   * fetch is simulated: ``--corpus-parquet`` points at a pre-fetched page
     store (url, status_code, content_type, spans, ...); a production
-    deployment swaps this for the HTTP ``mapInPandas`` stage, where
-    ``--proxy``/``--timeout`` apply.
+    deployment swaps this for the HTTP ``mapInPandas`` stage
+    (``sources/fetch.py``), where ``--proxy``/``--timeout`` apply.
   * ``--master`` picks the Spark master (default ``local[*]``).
 
 As in the reference, seeding from ``--urls-file`` disables link discovery

@@ -28,9 +28,9 @@ Semantics preserved from the reference (tests mirror tests/test_scraper.py):
     (scraper.py:404-415, database_manager.py:294-317)
 
 Fetch is simulated by an equi-join against the synthetic corpus on ``url``
-(no network in the sandbox; a production deployment swaps the join for an
-HTTP ``mapInPandas`` stage with the reference's transport retry policy,
-scraper.py:98-111).  A corpus row with ``transient_failures_remaining > n``
+(no network in the sandbox; a production deployment swaps the join for the
+HTTP ``mapInPandas`` stage in ``sources/fetch.py`` — reference transport
+retry policy, scraper.py:98-111, with the plumbing real and tested here).  A corpus row with ``transient_failures_remaining > n``
 fails the n-th app-level attempt with 503 and succeeds after — exercising
 the retry/requeue path end-to-end.
 

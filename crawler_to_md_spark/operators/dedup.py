@@ -211,6 +211,124 @@ def duck_exact_dups_sql(docs_rel: str = "documents") -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact, inverted-index — no sketching)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 5
+
+
+def char_ngrams(text: F.Column, n: int = NGRAM_N) -> F.Column:
+    """Distinct character n-grams of ``text`` (empty array when shorter
+    than ``n`` — ``sequence(1, 0)`` would count DOWN in Spark, so guard)."""
+    upper = F.length(text) - n + 1
+    return F.when(
+        upper >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), upper),
+                lambda i: text.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT character-n-gram Jaccard near-dup pairs via an inverted index.
+
+    Unlike :func:`minhash_near_dups` (probabilistic candidate generation),
+    this is the exact-similarity variant: explode each document's distinct
+    n-gram set into ``(gram, doc_id, set_size)`` postings, self-join on the
+    gram, and count shared grams per pair — any pair with Jaccard > 0
+    shares a gram, so the posting join enumerates a guaranteed superset and
+    ``|A ∩ B| / (|A| + |B| - |A ∩ B|)`` is computed exactly.  The only
+    shuffles are the posting join (keyed by gram) and the pair groupBy.
+
+    Scale: the posting join's cost is Σ df(gram)² — boilerplate grams
+    (df in the millions at 10^10 docs) dominate.  Production runs set
+    ``max_df`` to drop grams whose document frequency exceeds it, and the
+    Jaccard is then computed over the RETAINED vocabulary (set sizes are
+    recomputed after the cut — the standard df-cut semantics, so identical
+    documents still score 1.0; pairs similar ONLY through ultra-common
+    grams drop out, which is the point).  The oracle-gated entry query runs
+    with ``max_df=None`` so the result is exactly the brute-force Jaccard
+    (duck_ngram_jaccard_sql).
+    """
+    from pyspark.sql import Window
+
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col(text_col).alias("__text"))
+    if max_df is None:
+        # sizes are array sizes — no extra shuffle
+        inv = (
+            ids.select("doc_id", char_ngrams(F.col("__text"), n).alias("gs"))
+            .withColumn("sz", F.size("gs").cast("long"))
+            .filter(F.col("sz") > 0)
+            .select("doc_id", "sz", F.explode("gs").alias("gram"))
+        )
+    else:
+        inv = ids.select(
+            "doc_id", F.explode(char_ngrams(F.col("__text"), n)).alias("gram")
+        )
+        wdf = Window.partitionBy("gram")
+        inv = inv.withColumn("__df", F.count(F.lit(1)).over(wdf)).filter(
+            F.col("__df") <= max_df
+        ).drop("__df")
+        # set sizes recomputed over the retained vocabulary
+        wsz = Window.partitionBy("doc_id")
+        inv = inv.withColumn("sz", F.count(F.lit(1)).over(wsz))
+    a = inv.select(F.col("doc_id").alias("doc_a"),
+                   F.col("sz").alias("sz_a"), "gram")
+    b = inv.select(F.col("doc_id").alias("doc_b"),
+                   F.col("sz").alias("sz_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def duck_ngram_jaccard_sql(
+    docs_rel: str = "documents", n: int = NGRAM_N, threshold: float = 0.5
+) -> str:
+    """Brute-force all-pairs character-n-gram Jaccard over the planted
+    dup corpus — the ground truth :func:`ngram_jaccard_dups` must equal."""
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length(text) - {n} + 1, 0) + 1), "
+        f"i -> substr(text, CAST(i AS INTEGER), {n})))"
+    )
+    return f"""
+        WITH {DUCK_DUP_CORPUS.format(docs_rel=docs_rel)},
+        gr AS (SELECT doc_id, {grams} AS gs FROM dup_corpus),
+        gr2 AS (SELECT doc_id, gs, len(gs) AS sz FROM gr WHERE len(gs) > 0)
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+               CAST(b.doc_id AS BIGINT) AS doc_b,
+               round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                     / (a.sz + b.sz - len(list_intersect(a.gs, b.gs))),
+                     6) AS jaccard
+        FROM gr2 a JOIN gr2 b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / (a.sz + b.sz - len(list_intersect(a.gs, b.gs))),
+                    6) >= {threshold}
+    """
+
+
 def duck_brute_force_near_dups_sql(
     docs_rel: str = "documents", threshold: float = 0.5, k: int = 3
 ) -> str:

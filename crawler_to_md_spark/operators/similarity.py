@@ -314,6 +314,120 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup (LSH-prefiltered, exact-verified)
+# ---------------------------------------------------------------------------
+
+EMB_DUP_MOD = 9          # vec_id % 9 == 0 -> planted near copy at vec_id + 10^6
+# element i scaled by 1 + 0.05 * ((i % 3) - 1): multipliers cycle
+# 0.95 / 1.0 / 1.05 -> cosine vs the original ~0.998 on random vectors,
+# far above any natural pair in the driver embeddings (max ~0.51)
+_PERTURB_EPS = 0.05
+
+
+def dup_embedding_corpus(embeddings: DataFrame) -> DataFrame:
+    """embeddings + planted near-duplicate vectors (deterministic
+    element-wise scaling, double precision on both sides so the DuckDB
+    twin reproduces the cosines bit-comparably)."""
+    base = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _vec("embedding").alias("embedding"),
+    )
+    near = base.filter(F.col("vec_id") % EMB_DUP_MOD == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (F.lit(1.0) + F.lit(_PERTURB_EPS)
+                              * ((i % 3) - 1).cast("double")),
+        ).alias("embedding"),
+    )
+    return base.unionByName(near)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact cosine >= ``threshold``, with
+    sign-projection LSH candidate generation so the all-pairs O(N²) join
+    never materializes.
+
+    Candidates are pairs whose sketches differ in <= ``max_hamming`` of the
+    32 projection bits — banding with ``max_hamming + 1`` bands makes that
+    candidate set EXACT by pigeonhole (see :func:`simhash_near_pairs`) —
+    then the surviving pairs join their vectors back by id and the exact
+    cosine filter runs on that tiny set only.  A qualifying pair can be
+    missed only if its hamming exceeds ``max_hamming``: at cos >= 0.9 the
+    expected differing bits are 32·arccos(0.9)/π ≈ 4.6, and the pytest
+    suite asserts equality against the in-Spark brute force (the DuckDB
+    oracle is the all-pairs ground truth, so a recall miss fails the gate
+    rather than hiding).
+    """
+    cand = simhash_near_pairs(embeddings, dim, max_hamming=max_hamming)
+    vecs = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _vec("embedding").alias("vec"),
+    )
+    pairs = (
+        cand.join(vecs.select(F.col("vec_id").alias("id_a"),
+                              F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("vec_id").alias("id_b"),
+                          F.col("vec").alias("vec_b")), "id_b")
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+    )
+    return (
+        pairs.filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def brute_force_near_dups(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """All-pairs exact cosine near-dup — the in-Spark ground truth used by
+    the test suite to certify :func:`embedding_near_dups` recall."""
+    vecs = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _vec("embedding").alias("vec"),
+    )
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def duck_embedding_near_dups_sql(
+    dim: int, emb_rel: str = "embeddings", threshold: float = 0.9
+) -> str:
+    """All-pairs cosine ground truth over the planted dup corpus (the LSH
+    path must reproduce it exactly)."""
+    perturbed = (
+        f"list_transform(range(1, len(CAST(embedding AS DOUBLE[])) + 1), "
+        f"i -> CAST(embedding AS DOUBLE[])[i] "
+        f"* (1.0 + {_PERTURB_EPS} * (((i - 1) % 3) - 1)))"
+    )
+    return f"""
+        WITH dup_emb AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM {emb_rel}
+            UNION ALL
+            SELECT CAST(vec_id AS BIGINT) + 1000000, {perturbed}
+            FROM {emb_rel} WHERE vec_id % {EMB_DUP_MOD} = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        FROM dup_emb a JOIN dup_emb b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 

@@ -216,3 +216,65 @@ def test_simhash_r8_equals_brute_force_oracle(spark, emb, duck):
     _cmp(sdf, rel, ["id_a", "id_b", "hamming"])
     with pytest.raises(ValueError):
         similarity.simhash_near_pairs(emb, dim=64, max_hamming=8, n_bands=4)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup + embedding-cosine near-dup (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_matches_duckdb(spark, docs, duck):
+    """Inverted-index exact Jaccard == brute-force all-pairs oracle."""
+    sdf = dedup.ngram_jaccard_dups(dedup.dup_corpus(docs), threshold=0.5)
+    rel = duck.sql(dedup.duck_ngram_jaccard_sql(threshold=0.5))
+    _cmp(sdf, rel, ["doc_a", "doc_b", "jaccard"])
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    # threshold 0.7: the tail-token append costs short docs up to ~0.25
+    # jaccard (measured min 0.746 on this corpus) — every planted pair,
+    # exact and near, must surface
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_dups(
+            dedup.dup_corpus(docs), threshold=0.7).collect()
+    }
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for i in ids:
+        if i % dedup.DUP_EXACT_MOD == 0:
+            assert (i, i + 1_000_000) in got       # exact copy -> jaccard 1.0
+        if i % dedup.DUP_NEAR_MOD == 0:
+            assert (i, i + 2_000_000) in got       # near copy
+
+
+def test_ngram_jaccard_max_df_keeps_high_pairs(docs):
+    """The production df-cut must not lose pairs whose similarity rests on
+    rare grams: every jaccard-1.0 pair survives a generous max_df."""
+    full = dedup.ngram_jaccard_dups(dedup.dup_corpus(docs), threshold=0.99)
+    cut = dedup.ngram_jaccard_dups(dedup.dup_corpus(docs), threshold=0.99,
+                                   max_df=500)
+    f = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+    c = {(r["doc_a"], r["doc_b"]) for r in cut.collect()}
+    assert f == c
+
+
+def test_embedding_near_dups_equal_brute_force(spark, emb):
+    """LSH-prefiltered near-dup == all-pairs exact cosine (recall cert)."""
+    corpus = similarity.dup_embedding_corpus(emb)
+    lsh = {
+        tuple(r) for r in similarity.embedding_near_dups(
+            corpus, dim=64, threshold=0.9).collect()
+    }
+    bf = {
+        tuple(r) for r in similarity.brute_force_near_dups(
+            corpus, threshold=0.9).collect()
+    }
+    assert lsh == bf
+    assert len(bf) > 0          # planted pairs actually exist
+
+
+def test_embedding_near_dups_matches_duckdb(spark, emb, duck):
+    sdf = similarity.embedding_near_dups(
+        similarity.dup_embedding_corpus(emb), dim=64, threshold=0.9)
+    rel = duck.sql(similarity.duck_embedding_near_dups_sql(64, threshold=0.9))
+    _cmp(sdf, rel, ["id_a", "id_b", "cos"])
