@@ -21,9 +21,11 @@ local[$SPARK_GRAFT_CPUS]):
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors;
 sandbox has one machine, so N and 4N cores): `--scaling` re-runs q_schedule
-in TWO fresh subprocess JVMs at local[8] and local[32] on identical input
-and reports urls/sec at both plus eff = (thr_32 / thr_8) / 4.  Results are
-summarized in BENCH.md.
+in fresh subprocess JVMs at local[2] and local[8] on identical input and
+reports urls/sec at both plus eff = (thr_8 / thr_2) / 4 — see
+scaling_report() for why 2->8 is the honest window on this box, and
+`--full-scaling` for the supplementary local[8]->local[32] and
+multi-process local-cluster levels.  Results are summarized in BENCH.md.
 """
 
 from __future__ import annotations

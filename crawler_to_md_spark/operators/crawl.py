@@ -402,30 +402,35 @@ class CrawlEngine:
         discovered = 0
         new_links = None
         dirty_set = set(stats["dirty_buckets"] or [])
+        cand = None
         if cfg.discover_links:
-            cand_all, cand = self._discover(fetched, links_all, bloom)
-            cand = cand.persist()   # seq runs 3 jobs over it; evaluate once
-            discovered = cand_all.count()
-            pt.mark("seq")
-            new_links = with_ordered_seq(
-                cand.select(
-                    "url", "url_hash", "host",
-                    F.lit(False).alias("visited"),
-                    F.lit(0).alias("retry_count"),
-                    "depth",
-                    F.lit(wave_id).cast("long").alias("batch_id"),
-                ),
-                ["url"],
-            ).select(*LINKS_SCHEMA.fieldNames()).persist()
-            # count + dirty buckets of the inserts in ONE pass
-            ins = new_links.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set(bucket_of).alias("dirty_buckets"),
+            # ONE job computes the discovered count (A4), the insert count
+            # (A3) and the inserts' dirty buckets, materializing the
+            # persisted candidate cache as a side effect — round 1 ran
+            # three separate jobs here (count, seq counts, insert agg).
+            cand, flagged = self._discover(fetched, links_all, bloom)
+            unseen = F.col(schedule.UNSEEN_COL)
+            dstats = flagged.agg(
+                F.count(F.lit(1)).alias("discovered"),
+                F.sum(unseen.cast("long")).alias("inserted"),
+                F.collect_set(F.when(unseen, bucket_of)).alias("dirty_buckets"),
             ).collect()[0]
-            inserted = int(ins["n"])
-            dirty_set |= set(ins["dirty_buckets"] or [])
-            cand_all.unpersist()
-            cand.unpersist()
+            discovered = int(dstats["discovered"] or 0)
+            inserted = int(dstats["inserted"] or 0)
+            dirty_set |= set(dstats["dirty_buckets"] or [])
+            pt.mark("seq")
+            if inserted:
+                new_links = with_ordered_seq(
+                    flagged.filter(unseen).select(
+                        "url", "url_hash", "host",
+                        F.lit(False).alias("visited"),
+                        F.lit(0).alias("retry_count"),
+                        "depth",
+                        F.lit(wave_id).cast("long").alias("batch_id"),
+                    ),
+                    ["url"],
+                    approx_rows=inserted,
+                ).select(*LINKS_SCHEMA.fieldNames()).persist()
         pt.mark("links_merge")
         dirty = sorted(dirty_set)
 
@@ -498,6 +503,8 @@ class CrawlEngine:
             lineage=lineage,
         )
         fetched.unpersist()
+        if cand is not None:
+            cand.unpersist()
         if new_links is not None:
             new_links.unpersist()
         pt.mark("end")
@@ -509,11 +516,13 @@ class CrawlEngine:
     def _discover(
         self, fetched: DataFrame, links_all: DataFrame, bloom: BloomShardStore | None
     ) -> tuple[DataFrame, DataFrame]:
-        """Parsed pages -> (all validated+deduped candidates, unseen subset)
-        via the shared scheduling operator (operators/schedule.py).
+        """Parsed pages -> (persisted deduped candidates, same rows with an
+        ``UNSEEN_COL`` verdict) via the shared scheduling operator
+        (operators/schedule.py).
 
-        The first element is persisted (it feeds both the seen filter and
-        the per-wave discovered-count metric, A3/O10)."""
+        The first element is persisted — the flagged frame's two branches
+        (bloom-negative, bloom-positive anti-join) both read that cache, so
+        the resolve/canonicalize pipeline evaluates exactly once per wave."""
         cfg = self.config
         raw = fetched.filter("parsed").select(
             F.col("url").alias("page_url"),
@@ -541,8 +550,8 @@ class CrawlEngine:
         cand = schedule.with_bloom_flag(
             schedule.dedup_candidates(valid), bloom
         ).persist()
-        return cand, schedule.filter_unseen(cand, links_all, bloom,
-                                            seen_count=seen_count)
+        return cand, schedule.flag_unseen(cand, links_all, bloom,
+                                          seen_count=seen_count)
 
     # ------------------------------------------------------------------
     # runs

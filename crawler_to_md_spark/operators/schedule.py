@@ -117,6 +117,42 @@ def with_bloom_flag(
 BROADCAST_SEEN_MAX = 2_000_000
 
 
+UNSEEN_COL = "__unseen"
+
+
+def flag_unseen(
+    cand: DataFrame, seen: DataFrame, bloom: BloomShards | None = None,
+    seen_count: int | None = None,
+) -> DataFrame:
+    """Like :func:`filter_unseen` but stamps the verdict as ``UNSEEN_COL``
+    instead of filtering, so ONE pass over a persisted candidate frame
+    serves the discovered-count metric (A4), the insert count (A3), and the
+    insert rows — the wave loop previously ran three separate jobs for
+    those.  Join strategy and bloom-prefilter shape are identical to
+    :func:`filter_unseen`: only bloom-positive rows reach the exact join."""
+    seen_keys = seen.select("url_hash", "url").withColumn("__hit", F.lit(True))
+    if seen_count is not None and seen_count <= BROADCAST_SEEN_MAX:
+        seen_keys = F.broadcast(seen_keys)
+    if bloom is None and MAYBE_COL not in cand.columns:
+        return (
+            cand.join(seen_keys, ["url_hash", "url"], "left")
+            .withColumn(UNSEEN_COL, F.col("__hit").isNull())
+            .drop("__hit")
+        )
+    if MAYBE_COL not in cand.columns:
+        cand = with_bloom_flag(cand, bloom)
+    sure_new = cand.filter(~F.col(MAYBE_COL)).drop(MAYBE_COL).withColumn(
+        UNSEEN_COL, F.lit(True)
+    )
+    suspects = (
+        cand.filter(F.col(MAYBE_COL)).drop(MAYBE_COL)
+        .join(seen_keys, ["url_hash", "url"], "left")
+        .withColumn(UNSEEN_COL, F.col("__hit").isNull())
+        .drop("__hit")
+    )
+    return sure_new.unionByName(suspects.select(*sure_new.columns))
+
+
 def filter_unseen(
     cand: DataFrame, seen: DataFrame, bloom: BloomShards | None = None,
     seen_count: int | None = None,

@@ -24,11 +24,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Below this many rows the two-phase machinery costs more than it saves:
+# the range sample + per-partition counts are two extra Spark jobs, while a
+# single-task window sort of <=100k rows finishes in milliseconds.  Callers
+# that KNOW the row count (the crawl wave loop counts inserts first) pass
+# ``approx_rows`` to take the zero-extra-job path; the scale path stays the
+# default for unknown or large inputs.
+SMALL_SEQ_ROWS = 100_000
+
+
 def with_ordered_seq(
     df: DataFrame,
     order_cols: list[str],
     seq_col: str = "seq",
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Add a dense 0-based ``seq`` = global rank by ``order_cols``.
 
@@ -36,6 +46,11 @@ def with_ordered_seq(
     deterministic — the frontier uses canonical ``url``, which is unique.
     """
     cols = [F.col(c) for c in order_cols]
+    if approx_rows is not None and approx_rows <= SMALL_SEQ_ROWS:
+        w = Window.orderBy(*cols)  # single task — safe only under the gate
+        return df.withColumn(
+            seq_col, (F.row_number().over(w) - 1).cast("long")
+        )
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *cols)
     else:

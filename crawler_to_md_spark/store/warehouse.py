@@ -160,21 +160,39 @@ class SnapshotStore:
         AppendUpdate adds one segment."""
         prev = self.manifest if self.exists() else {"tables": {}, "history": []}
         new_tables = dict(prev["tables"])
-        for name, upd in tables.items():
+
+        def _write_one(item):
+            name, upd = item
             if isinstance(upd, BucketedUpdate):
-                new_tables[name] = self._write_buckets(name, upd, batch_id,
-                                                       prev["tables"].get(name))
-            elif isinstance(upd, AppendUpdate):
+                return name, self._write_buckets(name, upd, batch_id,
+                                                 prev["tables"].get(name))
+            if isinstance(upd, AppendUpdate):
                 rel = f"{name}/snap-{batch_id:08d}"
                 upd.df.write.mode("overwrite").parquet(os.path.join(self.dir, rel))
                 old = prev["tables"].get(name)
                 segments = list(old["segments"]) if isinstance(old, dict) else (
                     [old] if old else [])
-                new_tables[name] = {"kind": "append", "segments": segments + [rel]}
-            else:
-                rel = f"{name}/snap-{batch_id:08d}"
-                upd.write.mode("overwrite").parquet(os.path.join(self.dir, rel))
-                new_tables[name] = rel
+                return name, {"kind": "append", "segments": segments + [rel]}
+            rel = f"{name}/snap-{batch_id:08d}"
+            upd.write.mode("overwrite").parquet(os.path.join(self.dir, rel))
+            return name, rel
+
+        # per-table writes are independent (distinct paths, read-only view
+        # of the previous manifest) — submit them as concurrent Spark jobs
+        # so one snapshot's wall time is max(table writes), not the sum.
+        # The manifest below still advances only after EVERY write landed,
+        # so atomicity is unchanged; a failed write aborts the commit and
+        # the orphan snap dirs are GC'd by the next successful commit.
+        items = list(tables.items())
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(items)) as ex:
+                results = list(ex.map(_write_one, items))
+        else:
+            results = [_write_one(item) for item in items]
+        for name, entry in results:
+            new_tables[name] = entry
 
         manifest = {
             "batch_id": batch_id,

@@ -282,3 +282,35 @@ def test_pacer_caps_wave_size_in_engine(spark, corpus_df, tmp_path):
     assert all(r["dequeued"] <= 25 for r in waves)
     # every full window triggered a sleep of <= 60s
     assert clk.sleeps and all(0 < s <= 60.0 for s in clk.sleeps)
+
+
+def test_flag_unseen_matches_filter_unseen(spark):
+    """flag_unseen's UNSEEN verdict must be exactly filter_unseen's row set,
+    on both the no-bloom path and the bloom-prefiltered two-branch path."""
+    from crawler_to_md_spark.functions.bloom import BloomShards
+    from crawler_to_md_spark.operators import schedule
+    from crawler_to_md_spark.functions import urlkit
+
+    urls = [f"https://h{i % 7}.example.com/docs/p{i}" for i in range(200)]
+    cand = spark.createDataFrame(
+        [(u, f"h{i % 7}.example.com", (i % 5) + 1) for i, u in enumerate(urls)],
+        "url string, host string, depth int",
+    ).withColumn("url_hash", urlkit.url_hash(F.col("url")))
+    seen = cand.filter("depth <= 2").select("url", "url_hash")
+
+    blooms = [None]
+    bloom = BloomShards.empty(num_shards=4, m_bits=1 << 14, num_hashes=4)
+    bloom.add_dataframe(seen)
+    blooms.append(bloom)
+
+    for b in blooms:
+        c = schedule.with_bloom_flag(cand, b)
+        want = {
+            r["url"]
+            for r in schedule.filter_unseen(c, seen, b, seen_count=80).collect()
+        }
+        flagged = schedule.flag_unseen(c, seen, b, seen_count=80).collect()
+        assert len(flagged) == 200  # every candidate kept, none duplicated
+        got = {r["url"] for r in flagged if r[schedule.UNSEEN_COL]}
+        assert got == want
+        assert want == set(urls) - {r["url"] for r in seen.collect()}
