@@ -26,11 +26,16 @@ def get_spark(
     not fan out into hundreds of empty tasks; a cluster deployment overrides
     it to ~2-3x total cores.
     """
-    if master is None:
+    # Under spark-submit the gateway JVM already owns the master (from the
+    # submit command line / cluster manager); setting one here would fight
+    # the deployment, so leave ``master`` None and skip builder.master().
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
 
-    inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
+    sizing = master if master is not None else f"local[{os.cpu_count() or 8}]"
+    inner = sizing[sizing.find("[") + 1 : sizing.find("]")] if "[" in sizing else "8"
     parts = inner.split(",")
     try:
         if len(parts) >= 2:        # local-cluster[workers, coresPerWorker, mem]
@@ -63,9 +68,11 @@ def get_spark(
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # The engine hand-places every filter adjacent to the scan or
         # projection it belongs to, so the filter-MOVING rule only hurts:
