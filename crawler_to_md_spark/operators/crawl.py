@@ -43,10 +43,11 @@ reference.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions import urlkit
@@ -61,8 +62,8 @@ from crawler_to_md_spark.operators.politeness import (
 from crawler_to_md_spark.operators.seq import with_ordered_seq
 from crawler_to_md_spark.store.schemas import DOCS_SCHEMA, LINKS_SCHEMA, METRICS_SCHEMA
 from crawler_to_md_spark.store.warehouse import (
-    AppendUpdate,
     BucketedUpdate,
+    LiteralAppend,
     SnapshotStore,
 )
 
@@ -241,7 +242,7 @@ class CrawlEngine:
                 "links": BucketedUpdate(links, all_buckets, B),
                 "docs": BucketedUpdate(
                     spark.createDataFrame([], DOCS_SCHEMA), all_buckets, B),
-                "metrics": AppendUpdate(spark.createDataFrame([], METRICS_SCHEMA)),
+                "metrics": LiteralAppend([], METRICS_SCHEMA),
             },
             batch_id=0,
             lineage=lineage,
@@ -341,9 +342,13 @@ class CrawlEngine:
                 .when(retriable, F.col("retry_count") + 1)
                 .otherwise(F.col("retry_count")),
             }
-        ).persist()
+        )
 
-        stats = fetched.agg(
+        # wave stats (A3/O10) + dirty-bucket probe in ONE aggregate list;
+        # in discover mode they ride the discover job as observed metrics
+        # (CollectMetrics under the cache) so the separate agg job over the
+        # batch disappears — static mode still pays the one agg job
+        wave_aggs = [
             F.count(F.lit(1)).alias("dequeued"),
             F.sum((F.col("outcome") == "ok").cast("long")).alias("fetched_ok"),
             F.sum(
@@ -353,10 +358,16 @@ class CrawlEngine:
             F.sum(
                 F.col("outcome").isin("http_skip", "nonhtml_skip").cast("long")
             ).alias("skipped"),
-            # dirty-bucket probe folded into the stats pass (was its own
-            # distinct().collect() job per wave)
             F.collect_set(bucket_of).alias("dirty_buckets"),
-        ).collect()[0]
+        ]
+        obs = None
+        if cfg.discover_links:
+            obs = Observation(f"wave-{wave_id}")
+            fetched = fetched.observe(obs, *wave_aggs)
+        fetched = fetched.persist()
+        stats: dict | None = None
+        if not cfg.discover_links:
+            stats = fetched.agg(*wave_aggs).collect()[0].asDict()
         pt.mark("docs_plan")
 
         # ---- docs rows (O5 failure taxonomy) --------------------------
@@ -401,7 +412,6 @@ class CrawlEngine:
         inserted = 0
         discovered = 0
         new_links = None
-        dirty_set = set(stats["dirty_buckets"] or [])
         cand = None
         if cfg.discover_links:
             # ONE job computes the discovered count (A4), the insert count
@@ -415,8 +425,12 @@ class CrawlEngine:
                 F.sum(unseen.cast("long")).alias("inserted"),
                 F.collect_set(F.when(unseen, bucket_of)).alias("dirty_buckets"),
             ).collect()[0]
+            # the dstats job just materialized the fetched cache through
+            # the observe node, so the wave stats are ready without a job
+            stats = obs.get
             discovered = int(dstats["discovered"] or 0)
             inserted = int(dstats["inserted"] or 0)
+            dirty_set = set(stats["dirty_buckets"] or [])
             dirty_set |= set(dstats["dirty_buckets"] or [])
             pt.mark("seq")
             if inserted:
@@ -432,6 +446,8 @@ class CrawlEngine:
                     approx_rows=inserted,
                 ).select(*LINKS_SCHEMA.fieldNames()).persist()
         pt.mark("links_merge")
+        if not cfg.discover_links:
+            dirty_set = set(stats["dirty_buckets"] or [])
         dirty = sorted(dirty_set)
 
         # ---- frontier state update (O2 + A5, one MERGE analog) --------
@@ -463,13 +479,15 @@ class CrawlEngine:
             .unionByName(docs_batch)
         )
 
-        metrics_row = self.spark.createDataFrame(
+        # driver-written parquet segment — one row per wave does not
+        # deserve a 32-task Spark write job (LiteralAppend)
+        metrics_row = LiteralAppend(
             [
                 (
-                    wave_id, run_id,
+                    int(wave_id), int(run_id),
                     int(stats["dequeued"] or 0), int(stats["fetched_ok"] or 0),
                     int(stats["failed_retriable"] or 0), int(stats["skipped"] or 0),
-                    discovered, inserted,
+                    int(discovered), int(inserted),
                 )
             ],
             METRICS_SCHEMA,
@@ -483,12 +501,19 @@ class CrawlEngine:
         lineage["counters"] = counters
         lineage["frontier_offset"] = wave_id
         pt.mark("bloom")
+        bloom_task = None
         if bloom is not None and new_links is not None and inserted:
-            # executor-side shard update: durable on return, no
-            # driver-side bitmap merge or re-broadcast (bloom.py)
-            bloom.add_dataframe(new_links)
-        if bloom is not None:
-            lineage["bloom_version"] = bloom.version
+            # executor-side shard update: durable on return, no driver-side
+            # bitmap merge or re-broadcast (bloom.py).  Runs as a commit
+            # extra task — its Spark job overlaps the links/docs bucket
+            # writes in the commit thread pool, and the manifest (which
+            # pins the bloom version) still only advances after it lands.
+            bloom_task = functools.partial(bloom.add_dataframe, new_links)
+
+        def _final_lineage() -> dict:
+            if bloom is not None:
+                lineage["bloom_version"] = bloom.version
+            return lineage
 
         pt.mark("commit")
         self.store.commit(
@@ -497,10 +522,11 @@ class CrawlEngine:
                 # docs rows carry no url_hash column; BucketedUpdate falls
                 # back to xxhash64(url) — the same key, same buckets
                 "docs": BucketedUpdate(docs_new, dirty, B),
-                "metrics": AppendUpdate(metrics_row),
+                "metrics": metrics_row,
             },
             batch_id=wave_id,
-            lineage=lineage,
+            lineage=_final_lineage,
+            extra_tasks=[bloom_task] if bloom_task else None,
         )
         fetched.unpersist()
         if cand is not None:

@@ -31,7 +31,7 @@ import json
 import os
 import shutil
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +68,33 @@ class AppendUpdate:
     dir; previous segments are never rewritten."""
 
     df: DataFrame
+
+
+@dataclass
+class LiteralAppend:
+    """Append a handful of DRIVER-LOCAL rows without launching a Spark job
+    (the per-wave metrics row): the parquet segment is written directly
+    with pyarrow.  At one row per wave, a 32-task Spark write job is pure
+    fixed cost — this is the same file a Spark append would produce, read
+    back through the same segment list."""
+
+    rows: list[tuple]
+    schema: StructType
+
+    def write(self, path: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = list(zip(*self.rows)) if self.rows else [
+            [] for _ in self.schema.fields]
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema,
+        )
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
 class SnapshotStore:
@@ -150,14 +177,23 @@ class SnapshotStore:
 
     def commit(
         self,
-        tables: "dict[str, DataFrame | BucketedUpdate | AppendUpdate]",
+        tables: "dict[str, DataFrame | BucketedUpdate | AppendUpdate | LiteralAppend]",
         batch_id: int,
-        lineage: dict[str, Any] | None = None,
+        lineage: "dict[str, Any] | Callable[[], dict[str, Any]] | None" = None,
+        extra_tasks: "list[Callable[[], None]] | None" = None,
     ) -> None:
         """Write ``tables`` as snapshot ``batch_id`` and atomically advance
         the manifest.  Tables not in ``tables`` carry their previous snapshot
         forward (no rewrite); BucketedUpdate rewrites only dirty buckets;
-        AppendUpdate adds one segment."""
+        AppendUpdate adds one segment; LiteralAppend adds one driver-written
+        segment (no Spark job).
+
+        ``extra_tasks`` are side effects that must be durable BEFORE the
+        manifest rename (e.g. the bloom shard update): they run in the same
+        thread pool as the table writes, overlapping their Spark jobs, and
+        the manifest only advances after every task returned.  ``lineage``
+        may be a callable, evaluated after the tasks complete, so it can
+        capture state an extra task produces (the bloom version)."""
         prev = self.manifest if self.exists() else {"tables": {}, "history": []}
         new_tables = dict(prev["tables"])
 
@@ -166,9 +202,13 @@ class SnapshotStore:
             if isinstance(upd, BucketedUpdate):
                 return name, self._write_buckets(name, upd, batch_id,
                                                  prev["tables"].get(name))
-            if isinstance(upd, AppendUpdate):
+            if isinstance(upd, (AppendUpdate, LiteralAppend)):
                 rel = f"{name}/snap-{batch_id:08d}"
-                upd.df.write.mode("overwrite").parquet(os.path.join(self.dir, rel))
+                if isinstance(upd, LiteralAppend):
+                    upd.write(os.path.join(self.dir, rel))
+                else:
+                    upd.df.write.mode("overwrite").parquet(
+                        os.path.join(self.dir, rel))
                 old = prev["tables"].get(name)
                 segments = list(old["segments"]) if isinstance(old, dict) else (
                     [old] if old else [])
@@ -183,17 +223,25 @@ class SnapshotStore:
         # The manifest below still advances only after EVERY write landed,
         # so atomicity is unchanged; a failed write aborts the commit and
         # the orphan snap dirs are GC'd by the next successful commit.
-        items = list(tables.items())
-        if len(items) > 1:
+        import functools
+
+        thunks = [functools.partial(_write_one, item) for item in tables.items()]
+        thunks += list(extra_tasks or [])
+        if len(thunks) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(items)) as ex:
-                results = list(ex.map(_write_one, items))
+            with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+                results = [f.result() for f in
+                           [ex.submit(t) for t in thunks]]
         else:
-            results = [_write_one(item) for item in items]
-        for name, entry in results:
-            new_tables[name] = entry
+            results = [t() for t in thunks]
+        for res in results:
+            if res is not None:
+                name, entry = res
+                new_tables[name] = entry
 
+        if callable(lineage):
+            lineage = lineage()
         manifest = {
             "batch_id": batch_id,
             "tables": new_tables,

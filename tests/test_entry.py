@@ -11,7 +11,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("ENTRY_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
