@@ -23,6 +23,7 @@ callers skip the URL — scraper.py:205-207, 481-487).
 from __future__ import annotations
 
 import functools
+import itertools
 import re
 from urllib.parse import urljoin, urlparse, urlunparse
 
@@ -178,6 +179,28 @@ def canonicalize(url: Column) -> Column:
     return F.when(valid, canon).otherwise(F.lit(None).cast("string"))
 
 
+_barrier_ids = itertools.count()
+
+
+def _plan_barrier(df):
+    """Insert a CollectMetrics (``observe``) node between staged URL
+    projections — a PLANNER barrier, not a data transform.
+
+    Why: SparkPlanner's ``PhysicalOperation`` pattern re-collects the
+    whole Project chain at EVERY recursion level, substituting and
+    trimming aliases into progressively larger expression trees
+    (hot frame in stack samples: ``PhysicalOperation$.trimAliases``).
+    On the resolve+canonicalize chain this cost ~4 s of driver time per
+    planned query — per crawl wave — independent of data size.
+    ``CollectMetrics`` is not a Project/Filter, so the collection stops at
+    each stage boundary: measured planning time 4.5 s -> 0.01 s, same
+    results.  Runtime cost is one count accumulator per row; the metric
+    itself is never read."""
+    return df.observe(
+        f"__plan_barrier_{next(_barrier_ids)}", F.count(F.lit(1)).alias("rows")
+    )
+
+
 def with_canonical_url(df, src_col: str, out_col: str = "url"):
     """DataFrame-level canonicalization with manual common-subexpression
     elimination.
@@ -201,8 +224,8 @@ def with_canonical_url(df, src_col: str, out_col: str = "url"):
     """
     stages, final, internals = _canonical_stage_plan(src_col)
     for st in stages:
-        df = df.withColumns(st)
-    return df.withColumn(out_col, final).drop(*internals)
+        df = _plan_barrier(df.withColumns(st))
+    return _plan_barrier(df.withColumn(out_col, final)).drop(*internals)
 
 
 @functools.lru_cache(maxsize=32)
@@ -396,8 +419,8 @@ def with_resolved_href(df, page_col: str, href_col: str, out_col: str = "resolve
     Stage dicts memoized like :func:`with_canonical_url`."""
     stages, final, internals = _resolved_stage_plan(page_col, href_col)
     for st in stages:
-        df = df.withColumns(st)
-    return df.withColumn(out_col, final).drop(*internals)
+        df = _plan_barrier(df.withColumns(st))
+    return _plan_barrier(df.withColumn(out_col, final)).drop(*internals)
 
 
 @functools.lru_cache(maxsize=32)

@@ -72,6 +72,20 @@ RETRIABLE_STATUSES = (429, 500, 502, 503, 504)  # scraper.py:101-106 forcelist
 _PROFILE = bool(os.environ.get("CMS_PROFILE"))
 
 
+def _observation_result(obs: Observation, timeout: float = 120.0):
+    """Bounded wait for observed metrics.  ``Observation.get`` blocks with
+    no timeout; a daemon getter thread caps the wait so a metrics-routing
+    change in a future Spark degrades to the agg fallback instead of
+    hanging the crawl driver."""
+    import threading
+
+    box: dict = {}
+    th = threading.Thread(target=lambda: box.update(v=obs.get), daemon=True)
+    th.start()
+    th.join(timeout)
+    return box.get("v")
+
+
 class _phase_timer:
     """Prints per-phase wall times when CMS_PROFILE is set (perf triage)."""
 
@@ -344,10 +358,9 @@ class CrawlEngine:
             }
         )
 
-        # wave stats (A3/O10) + dirty-bucket probe in ONE aggregate list;
-        # in discover mode they ride the discover job as observed metrics
-        # (CollectMetrics under the cache) so the separate agg job over the
-        # batch disappears — static mode still pays the one agg job
+        # wave stats (A3/O10) + dirty-bucket probe in ONE aggregate list,
+        # riding the batch materialization as observed metrics — no
+        # separate aggregate job over the batch
         wave_aggs = [
             F.count(F.lit(1)).alias("dequeued"),
             F.sum((F.col("outcome") == "ok").cast("long")).alias("fetched_ok"),
@@ -360,13 +373,24 @@ class CrawlEngine:
             ).alias("skipped"),
             F.collect_set(bucket_of).alias("dirty_buckets"),
         ]
-        obs = None
-        if cfg.discover_links:
-            obs = Observation(f"wave-{wave_id}")
-            fetched = fetched.observe(obs, *wave_aggs)
-        fetched = fetched.persist()
-        stats: dict | None = None
-        if not cfg.discover_links:
+        obs = Observation(f"wave-{wave_id}")
+        # localCheckpoint TRUNCATES the logical plan at the wave batch:
+        # classic Spark analyzes eagerly on every Dataset creation, so
+        # without it each downstream transformation (docs rows, the URL
+        # discover chain, the bucket merge) re-resolves the whole
+        # frontier-scan + politeness-window + corpus-join subtree — ~4s of
+        # driver time per wave, at ANY data scale.  The eager checkpoint
+        # is one job that materializes the (wave-capped) batch to executor
+        # storage; every later plan analyzes a flat LogicalRDD instead.
+        # Recovery trade-off: lost executor blocks cannot recompute
+        # (lineage is gone) — the wave fails and resumes from the last
+        # snapshot, which is the engine's designed recovery path anyway.
+        fetched = fetched.observe(obs, *wave_aggs).localCheckpoint(eager=True)
+        stats = _observation_result(obs)
+        if stats is None:
+            # metrics did not fire for the checkpoint job (defensive: a
+            # Spark upgrade routing eager checkpoints outside query
+            # execution) — one cheap agg over the checkpointed batch
             stats = fetched.agg(*wave_aggs).collect()[0].asDict()
         pt.mark("docs_plan")
 
@@ -412,6 +436,7 @@ class CrawlEngine:
         inserted = 0
         discovered = 0
         new_links = None
+        dirty_set = set(stats["dirty_buckets"] or [])
         cand = None
         if cfg.discover_links:
             # ONE job computes the discovered count (A4), the insert count
@@ -419,18 +444,15 @@ class CrawlEngine:
             # persisted candidate cache as a side effect — round 1 ran
             # three separate jobs here (count, seq counts, insert agg).
             cand, flagged = self._discover(fetched, links_all, bloom)
+            pt.mark("discover_exec")
             unseen = F.col(schedule.UNSEEN_COL)
             dstats = flagged.agg(
                 F.count(F.lit(1)).alias("discovered"),
                 F.sum(unseen.cast("long")).alias("inserted"),
                 F.collect_set(F.when(unseen, bucket_of)).alias("dirty_buckets"),
             ).collect()[0]
-            # the dstats job just materialized the fetched cache through
-            # the observe node, so the wave stats are ready without a job
-            stats = obs.get
             discovered = int(dstats["discovered"] or 0)
             inserted = int(dstats["inserted"] or 0)
-            dirty_set = set(stats["dirty_buckets"] or [])
             dirty_set |= set(dstats["dirty_buckets"] or [])
             pt.mark("seq")
             if inserted:
@@ -446,8 +468,6 @@ class CrawlEngine:
                     approx_rows=inserted,
                 ).select(*LINKS_SCHEMA.fieldNames()).persist()
         pt.mark("links_merge")
-        if not cfg.discover_links:
-            dirty_set = set(stats["dirty_buckets"] or [])
         dirty = sorted(dirty_set)
 
         # ---- frontier state update (O2 + A5, one MERGE analog) --------
@@ -528,9 +548,9 @@ class CrawlEngine:
             lineage=_final_lineage,
             extra_tasks=[bloom_task] if bloom_task else None,
         )
-        fetched.unpersist()
-        if cand is not None:
-            cand.unpersist()
+        # fetched/cand are checkpointed, not cached: their blocks are
+        # reclaimed by the ContextCleaner once these references drop at
+        # wave end (unpersist() would be a no-op on them)
         if new_links is not None:
             new_links.unpersist()
         pt.mark("end")
@@ -546,9 +566,12 @@ class CrawlEngine:
         ``UNSEEN_COL`` verdict) via the shared scheduling operator
         (operators/schedule.py).
 
-        The first element is persisted — the flagged frame's two branches
-        (bloom-negative, bloom-positive anti-join) both read that cache, so
-        the resolve/canonicalize pipeline evaluates exactly once per wave."""
+        The first element is eagerly localCheckpoint-ed: the flagged
+        frame's two branches (bloom-negative, bloom-positive anti-join)
+        read the materialized blocks, so the resolve/canonicalize pipeline
+        evaluates exactly once per wave — AND the checkpoint truncates the
+        staged URL-projection chain out of every downstream plan, whose
+        eager re-analysis cost ~1-2s of driver time per wave."""
         cfg = self.config
         raw = fetched.filter("parsed").select(
             F.col("url").alias("page_url"),
@@ -575,7 +598,7 @@ class CrawlEngine:
             counters.get("links_inserted", 0))
         cand = schedule.with_bloom_flag(
             schedule.dedup_candidates(valid), bloom
-        ).persist()
+        ).localCheckpoint(eager=True)
         return cand, schedule.flag_unseen(cand, links_all, bloom,
                                           seen_count=seen_count)
 
