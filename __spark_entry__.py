@@ -382,6 +382,30 @@ def _q_stream_schedule(spark, sf_dir):
     return out
 
 
+def _q_host_windows(spark, sf_dir):
+    """ST2 batch form: the streaming politeness accounting
+    (streaming/frontier.py host_request_windows — reference requests/min
+    window, scraper.py:455-468) over a deterministic fetch log derived
+    from the events table (ts -> event_time, user_id -> host).  Tumbling
+    1-minute event-time windows; the DuckDB twin is time_bucket.  Window
+    bounds are emitted as formatted strings so the value hash is
+    timezone-representation-independent."""
+    from crawler_to_md_spark.streaming.frontier import host_request_windows
+
+    log = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").alias("event_time"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+    )
+    out = host_request_windows(log, window_duration="1 minute")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "host",
+        "requests",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_class_histogram": _q_corpus_class_histogram,
@@ -409,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "stream_schedule": _q_stream_schedule,
+        "host_windows": _q_host_windows,
     }
 
 
@@ -587,5 +612,17 @@ def oracle_sql() -> dict[str, str]:
                    {corpus.HOST_SQL.format(g='f.dst')} AS host,
                    f.epoch
             FROM first_seen f
+        """,
+        "host_windows": """
+            SELECT strftime(time_bucket(INTERVAL 1 minute, ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(time_bucket(INTERVAL 1 minute, ts)
+                            + INTERVAL 1 minute,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com'
+                       AS host,
+                   COUNT(*) AS requests
+            FROM events
+            GROUP BY 1, 2, 3
         """,
     }

@@ -135,7 +135,10 @@ def stage_schedule(spark, sf_dir) -> dict:
     from crawler_to_md_spark.operators.politeness import politeness_cap
     from crawler_to_md_spark.operators.schedule import schedule_candidates
     from crawler_to_md_spark.operators.seq import with_ordered_seq
+    from crawler_to_md_spark.session import url_pipeline_confs
 
+    ctx = url_pipeline_confs(spark)
+    ctx.__enter__()   # whole stage is URL-pipeline work; subprocess exits after
     seen = (
         _corpus(spark, sf_dir)
         .select("url", urlkit.url_hash(F.col("url")).alias("url_hash"))

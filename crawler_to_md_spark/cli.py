@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--corpus-parquet",
                    help="Parquet page store standing in for HTTP fetch")
     p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument("--small-export", action="store_true", default=False,
+                   help="Assemble compiled exports on the driver (collect) "
+                        "instead of the default executor-written sharded "
+                        "path; only for corpora that fit in driver memory")
     return p
 
 
@@ -168,13 +172,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     docs, links = engine.docs(), engine.links()
     md_path = os.path.join(output, f"{out_name}.md")
     json_path = os.path.join(output, f"{out_name}.json")
+    # sharded (executor-written, O(chunk) driver memory) is the default —
+    # byte-identical to the collect path (proven in tests/test_exports.py);
+    # --small-export keeps the reference-shaped driver assembly for tiny runs
     if not args.no_markdown:
-        exports.export_compiled_markdown(
-            docs, links, title=args.title, path=md_path, minify=args.minify)
+        if args.small_export:
+            exports.export_compiled_markdown(
+                docs, links, title=args.title, path=md_path,
+                minify=args.minify)
+        else:
+            exports.export_compiled_markdown_sharded(
+                docs, links, title=args.title, path=md_path,
+                minify=args.minify)
         print("Markdown file generated at:", md_path)
     if not args.no_json:
-        exports.export_compiled_json(
-            docs, links, path=json_path, minify=args.minify)
+        if args.small_export:
+            exports.export_compiled_json(
+                docs, links, path=json_path, minify=args.minify)
+        else:
+            exports.export_compiled_json_sharded(
+                docs, links, path=json_path, minify=args.minify)
         print("JSON file generated at:", json_path)
     if args.export_individual:
         folder = exports.export_individual_markdown(

@@ -70,6 +70,15 @@ class BloomShards:
     def __init__(self, num_shards: int, m_bits: int, num_hashes: int,
                  bitmaps: dict[int, np.ndarray], version: int = 0):
         assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of 2"
+        # shard routing: DataFrame-side bucketing uses SIGNED pmod(hash, P)
+        # while the membership UDF buckets by UNSIGNED uint64 % P — these
+        # agree exactly when P divides 2^64, i.e. power-of-2 P.  A
+        # non-power-of-2 count would silently probe the wrong shard (missed
+        # "seen" -> harmless but wasteful anti-join work); make the
+        # invariant explicit.
+        assert num_shards & (num_shards - 1) == 0, (
+            "num_shards must be a power of 2 (signed/unsigned shard-modulo "
+            "agreement)")
         self.num_shards = num_shards
         self.m_bits = m_bits
         self.num_hashes = num_hashes
@@ -216,6 +225,15 @@ class BloomShardStore:
                  num_hashes: int, shard_versions: dict[int, int],
                  version: int):
         assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of 2"
+        # shard routing: DataFrame-side bucketing uses SIGNED pmod(hash, P)
+        # while the membership UDF buckets by UNSIGNED uint64 % P — these
+        # agree exactly when P divides 2^64, i.e. power-of-2 P.  A
+        # non-power-of-2 count would silently probe the wrong shard (missed
+        # "seen" -> harmless but wasteful anti-join work); make the
+        # invariant explicit.
+        assert num_shards & (num_shards - 1) == 0, (
+            "num_shards must be a power of 2 (signed/unsigned shard-modulo "
+            "agreement)")
         self.dir = bloom_dir
         self.num_shards = num_shards
         self.m_bits = m_bits

@@ -27,12 +27,14 @@ Semantics preserved from the reference (tests mirror tests/test_scraper.py):
   * resume requeues failed pages with retry_count < max_retries
     (scraper.py:404-415, database_manager.py:294-317)
 
-Fetch is simulated by an equi-join against the synthetic corpus on ``url``
-(no network in the sandbox; a production deployment swaps the join for the
-HTTP ``mapInPandas`` stage in ``sources/fetch.py`` — reference transport
-retry policy, scraper.py:98-111, with the plumbing real and tested here).  A corpus row with ``transient_failures_remaining > n``
-fails the n-th app-level attempt with 503 and succeeds after — exercising
-the retry/requeue path end-to-end.
+Fetch is a PLUGGABLE stage (operators/fetchstage.py): the sandbox default is
+an equi-join against the synthetic corpus on ``url`` (no network here); a
+production deployment passes ``http_extract_stage(...)`` — the pooled HTTP
+``mapInPandas`` stage (sources/fetch.py, reference transport retry policy
+scraper.py:98-111) fused with the one-parse extraction UDF carrying the
+config's CSS include/exclude filters (P6/P7).  A corpus row with
+``transient_failures_remaining > n`` fails the n-th app-level attempt with
+503 and succeeds after — exercising the retry/requeue path end-to-end.
 
 Ordering: the reference's intra-wave order is Python-set iteration order —
 nondeterministic across runs (scraper.py:589-592, SURVEY.md §2.6).  The
@@ -72,18 +74,35 @@ RETRIABLE_STATUSES = (429, 500, 502, 503, 504)  # scraper.py:101-106 forcelist
 _PROFILE = bool(os.environ.get("CMS_PROFILE"))
 
 
-def _observation_result(obs: Observation, timeout: float = 120.0):
+_OBS_UNAVAILABLE = False  # set after the first miss: skip straight to the agg
+
+
+def _observation_result(obs: Observation, timeout: float = 5.0):
     """Bounded wait for observed metrics.  ``Observation.get`` blocks with
     no timeout; a daemon getter thread caps the wait so a metrics-routing
     change in a future Spark degrades to the agg fallback instead of
-    hanging the crawl driver."""
+    hanging the crawl driver.  The timeout is short — the eager checkpoint
+    job has already completed synchronously when this is called — and the
+    first miss is remembered so later waves do not re-wait (or leak another
+    blocked getter thread) every wave."""
+    global _OBS_UNAVAILABLE
+    if _OBS_UNAVAILABLE:
+        return None
     import threading
 
     box: dict = {}
     th = threading.Thread(target=lambda: box.update(v=obs.get), daemon=True)
     th.start()
     th.join(timeout)
-    return box.get("v")
+    if "v" not in box:
+        _OBS_UNAVAILABLE = True
+        from crawler_to_md_spark.progress import get_logger
+
+        get_logger().warning(
+            "observed metrics did not arrive within %.1fs; falling back to "
+            "per-wave aggregation for the rest of this process", timeout)
+        return None
+    return box["v"]
 
 
 class _phase_timer:
@@ -153,10 +172,23 @@ class CrawlEngine:
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
         pacer: Pacer | None = None,
+        fetch_stage=None,
     ):
+        """``fetch_stage`` is the pluggable fetch->parse->extract step
+        (operators/fetchstage.py): default = equi-join against ``corpus``
+        (sandbox simulation); pass ``http_extract_stage(...)`` (or inject a
+        test transport via ``http_stage_from_config``) for a live crawl —
+        that path runs the fused extraction UDF with the config's
+        ``css_include``/``css_exclude`` filters bound (P6/P7)."""
         self.spark = spark
         self.config = config or CrawlConfig()
-        self.store = SnapshotStore(
+        self._fetch_stage = fetch_stage
+        # strategy-selected store: parquet snapshots in the sandbox, Iceberg
+        # when a catalog is configured (store/iceberg.py; set
+        # CMS_STORE_BACKEND=iceberg to require it)
+        from crawler_to_md_spark.store.iceberg import make_store
+
+        self.store = make_store(
             spark, warehouse_dir,
             schemas={"links": LINKS_SCHEMA, "docs": DOCS_SCHEMA,
                      "metrics": METRICS_SCHEMA},
@@ -177,6 +209,22 @@ class CrawlEngine:
     @property
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(self._corpus_path)
+
+    @property
+    def fetch_stage(self):
+        """Resolve the wave fetch stage: injected > corpus join > live HTTP
+        (requests transport) built from the config's transport knobs."""
+        if self._fetch_stage is None:
+            from crawler_to_md_spark.operators.fetchstage import (
+                corpus_fetch_stage,
+                http_stage_from_config,
+            )
+
+            if os.path.exists(self._corpus_path):
+                self._fetch_stage = corpus_fetch_stage(self.corpus)
+            else:
+                self._fetch_stage = http_stage_from_config(self.config)
+        return self._fetch_stage
 
     def _bloom_dir(self) -> str:
         return os.path.join(self.store.dir, "bloom")
@@ -318,11 +366,7 @@ class CrawlEngine:
                 if c is not None]
         batch = global_cap(batch, min(caps) if caps else None).drop("priority")
 
-        corpus_cols = self.corpus.select(
-            "url", "status_code", "content_type",
-            "transient_failures_remaining", "title", "spans",
-        )
-        fetched = batch.join(corpus_cols, "url", "left")
+        fetched = self.fetch_stage(batch)
 
         eff_status = (
             F.when(F.col("status_code").isNull(), F.lit(None).cast("int"))
@@ -436,21 +480,28 @@ class CrawlEngine:
         inserted = 0
         discovered = 0
         new_links = None
-        dirty_set = set(stats["dirty_buckets"] or [])
-        cand = None
+        fetch_dirty = set(stats["dirty_buckets"] or [])
+        dirty_set = set(fetch_dirty)
         if cfg.discover_links:
             # ONE job computes the discovered count (A4), the insert count
-            # (A3) and the inserts' dirty buckets, materializing the
-            # persisted candidate cache as a side effect — round 1 ran
-            # three separate jobs here (count, seq counts, insert agg).
-            cand, flagged = self._discover(fetched, links_all, bloom)
-            pt.mark("discover_exec")
+            # (A3) and the inserts' dirty buckets AND materializes the
+            # flagged candidates: the discover stats ride the flagged
+            # frame's eager checkpoint as observed metrics — round 1 ran
+            # three separate jobs here (count, seq counts, insert agg);
+            # round 2 still ran two (candidate checkpoint + stats collect).
+            flagged = self._discover(fetched, links_all, bloom)
             unseen = F.col(schedule.UNSEEN_COL)
-            dstats = flagged.agg(
+            d_aggs = [
                 F.count(F.lit(1)).alias("discovered"),
                 F.sum(unseen.cast("long")).alias("inserted"),
                 F.collect_set(F.when(unseen, bucket_of)).alias("dirty_buckets"),
-            ).collect()[0]
+            ]
+            dobs = Observation(f"wave-{wave_id}-discover")
+            flagged = flagged.observe(dobs, *d_aggs).localCheckpoint(eager=True)
+            dstats = _observation_result(dobs)
+            if dstats is None:
+                dstats = flagged.agg(*d_aggs).collect()[0].asDict()
+            pt.mark("discover_exec")
             discovered = int(dstats["discovered"] or 0)
             inserted = int(dstats["inserted"] or 0)
             dirty_set |= set(dstats["dirty_buckets"] or [])
@@ -492,12 +543,21 @@ class CrawlEngine:
         # docs upsert, last-write-wins (database_manager.py:103-123;
         # Iceberg MERGE in production — per-bucket anti-join + union is
         # the parquet equivalent).  docs_batch URLs are a subset of the
-        # dequeued batch, so `dirty` covers every touched docs bucket.
-        docs_new = (
-            self.store.read_buckets("docs", dirty)
-            .join(docs_batch.select("url"), "url", "left_anti")
-            .unionByName(docs_batch)
-        )
+        # dequeued batch, so the FETCH-touched buckets cover every touched
+        # docs bucket — discovery-only buckets (new frontier links, no doc
+        # change) neither read back nor rewrite.  A wave where every
+        # outcome was a hard skip (404/non-HTML) produces no doc rows at
+        # all and omits the docs table from the commit entirely (the
+        # manifest carries it forward untouched).
+        n_docs = int(stats["fetched_ok"] or 0) + int(stats["failed_retriable"] or 0)
+        docs_dirty = sorted(fetch_dirty)
+        docs_new = None
+        if n_docs:
+            docs_new = (
+                self.store.read_buckets("docs", docs_dirty)
+                .join(docs_batch.select("url"), "url", "left_anti")
+                .unionByName(docs_batch)
+            )
 
         # driver-written parquet segment — one row per wave does not
         # deserve a 32-task Spark write job (LiteralAppend)
@@ -536,19 +596,21 @@ class CrawlEngine:
             return lineage
 
         pt.mark("commit")
+        updates = {
+            "links": BucketedUpdate(links_new, dirty, B),
+            "metrics": metrics_row,
+        }
+        if docs_new is not None:
+            # docs rows carry no url_hash column; BucketedUpdate falls
+            # back to xxhash64(url) — the same key, same buckets
+            updates["docs"] = BucketedUpdate(docs_new, docs_dirty, B)
         self.store.commit(
-            {
-                "links": BucketedUpdate(links_new, dirty, B),
-                # docs rows carry no url_hash column; BucketedUpdate falls
-                # back to xxhash64(url) — the same key, same buckets
-                "docs": BucketedUpdate(docs_new, dirty, B),
-                "metrics": metrics_row,
-            },
+            updates,
             batch_id=wave_id,
             lineage=_final_lineage,
             extra_tasks=[bloom_task] if bloom_task else None,
         )
-        # fetched/cand are checkpointed, not cached: their blocks are
+        # fetched/flagged are checkpointed, not cached: their blocks are
         # reclaimed by the ContextCleaner once these references drop at
         # wave end (unpersist() would be a no-op on them)
         if new_links is not None:
@@ -561,26 +623,29 @@ class CrawlEngine:
 
     def _discover(
         self, fetched: DataFrame, links_all: DataFrame, bloom: BloomShardStore | None
-    ) -> tuple[DataFrame, DataFrame]:
-        """Parsed pages -> (persisted deduped candidates, same rows with an
-        ``UNSEEN_COL`` verdict) via the shared scheduling operator
-        (operators/schedule.py).
+    ) -> DataFrame:
+        """Parsed pages -> candidates with an ``UNSEEN_COL`` verdict via the
+        shared scheduling operator (operators/schedule.py).
 
-        The first element is eagerly localCheckpoint-ed: the flagged
-        frame's two branches (bloom-negative, bloom-positive anti-join)
-        read the materialized blocks, so the resolve/canonicalize pipeline
-        evaluates exactly once per wave — AND the checkpoint truncates the
-        staged URL-projection chain out of every downstream plan, whose
-        eager re-analysis cost ~1-2s of driver time per wave."""
+        The returned plan is safe for a single observed checkpoint pass:
+        while the seen set is broadcast-small (or bloom is off) the verdict
+        is one left join, so the caller's eager checkpoint evaluates the
+        whole resolve/canonicalize/dedup pipeline exactly once — no
+        intermediate candidate materialization.  Above the broadcast bound
+        the bloom two-branch form reads the candidate frame twice, so the
+        candidates are eagerly localCheckpoint-ed first (one extra job, only
+        on the 10^10-frontier path where it pays for itself).  Either way
+        the checkpoint truncates the staged URL-projection chain out of
+        every downstream plan, whose eager re-analysis cost ~1-2s of driver
+        time per wave."""
         cfg = self.config
+        # one-parse discovery: every href the fetch stage's single parse
+        # produced (corpus stage derives out_links from link spans; the
+        # live stage's extraction UDF collects inline + standalone anchors)
         raw = fetched.filter("parsed").select(
             F.col("url").alias("page_url"),
             F.col("depth").alias("parent_depth"),
-            F.explode(
-                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
-            ).alias("s"),
-        ).select(
-            "page_url", "parent_depth", F.col("s.media_ref").alias("href")
+            F.explode("out_links").alias("href"),
         )
         resolved = schedule.resolve_candidates(
             raw, assume_no_dot_segments=cfg.assume_no_dot_segments
@@ -596,11 +661,16 @@ class CrawlEngine:
         counters = self.store.lineage.get("counters", {})
         seen_count = int(counters.get("seeds", 0)) + int(
             counters.get("links_inserted", 0))
-        cand = schedule.with_bloom_flag(
-            schedule.dedup_candidates(valid), bloom
-        ).localCheckpoint(eager=True)
-        return cand, schedule.flag_unseen(cand, links_all, bloom,
-                                          seen_count=seen_count)
+        cand = schedule.dedup_candidates(valid)
+        if bloom is not None and seen_count > schedule.BROADCAST_SEEN_MAX:
+            # two-branch bloom form: materialize candidates once so both
+            # branches (sure-new, suspect anti-join) read cached blocks
+            cand = schedule.with_bloom_flag(cand, bloom).localCheckpoint(
+                eager=True)
+            return schedule.flag_unseen(cand, links_all, bloom,
+                                        seen_count=seen_count)
+        return schedule.flag_unseen(cand, links_all, None,
+                                    seen_count=seen_count)
 
     # ------------------------------------------------------------------
     # runs
@@ -643,7 +713,17 @@ class CrawlEngine:
 
     def run(self, resume: bool = False) -> dict:
         """One crawl run: optional requeue, then waves until the frontier
-        drains (or max_waves).  Returns run summary counters."""
+        drains (or max_waves).  Returns run summary counters.
+
+        The URL-pipeline optimizer knobs (per-operator codegen, no filter
+        pushdown through the staged projections) are scoped to this loop —
+        operators outside the crawl path keep whole-stage codegen."""
+        from crawler_to_md_spark.session import url_pipeline_confs
+
+        with url_pipeline_confs(self.spark):
+            return self._run_inner(resume)
+
+    def _run_inner(self, resume: bool) -> dict:
         run_id = int(self.store.lineage.get("runs", 0)) + 1
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         if not self.config.aqe_in_waves:

@@ -128,11 +128,24 @@ def flag_unseen(
     instead of filtering, so ONE pass over a persisted candidate frame
     serves the discovered-count metric (A4), the insert count (A3), and the
     insert rows — the wave loop previously ran three separate jobs for
-    those.  Join strategy and bloom-prefilter shape are identical to
-    :func:`filter_unseen`: only bloom-positive rows reach the exact join."""
+    those.
+
+    While the seen set is broadcast-small the verdict is a SINGLE left join
+    probing the broadcast hash table — no bloom branch, no union: the
+    candidate pipeline underneath evaluates exactly once, so the caller can
+    observe+checkpoint the flagged frame in one job without first
+    materializing the candidates.  Above the broadcast bound the
+    bloom-prefiltered branch form takes over (only bloom-positives reach
+    the shuffled exact join), identical to :func:`filter_unseen`."""
     seen_keys = seen.select("url_hash", "url").withColumn("__hit", F.lit(True))
     if seen_count is not None and seen_count <= BROADCAST_SEEN_MAX:
-        seen_keys = F.broadcast(seen_keys)
+        if MAYBE_COL in cand.columns:
+            cand = cand.drop(MAYBE_COL)
+        return (
+            cand.join(F.broadcast(seen_keys), ["url_hash", "url"], "left")
+            .withColumn(UNSEEN_COL, F.col("__hit").isNull())
+            .drop("__hit")
+        )
     if bloom is None and MAYBE_COL not in cand.columns:
         return (
             cand.join(seen_keys, ["url_hash", "url"], "left")

@@ -126,6 +126,21 @@ def fetch_one(
     return status, ct, body, attempts, _is_html(ct) and status == 200, err
 
 
+def proxy_self_test(
+    policy: FetchPolicy,
+    transport: Transport,
+    test_url: str,
+) -> None:
+    """Reference startup proxy check (scraper.py:122-146): one driver-side
+    header-only request through the configured proxy before any wave runs;
+    an unreachable proxy fails fast with ValueError instead of surfacing as
+    N_urls connection-failure doc rows mid-crawl."""
+    try:
+        transport(test_url, policy.timeout, policy.proxy, False)
+    except Exception as exc:
+        raise ValueError(f"Proxy unreachable: {exc}") from exc
+
+
 def http_fetch_stage(
     frontier: DataFrame,
     policy: FetchPolicy | None = None,

@@ -1,0 +1,321 @@
+"""Iceberg-backed store strategy (production path of the north rule).
+
+The sandbox has no Iceberg runtime jars, so the engine runs on the parquet
+:class:`~crawler_to_md_spark.store.warehouse.SnapshotStore` — but the swap
+documented at warehouse.py:22-25 is CODE here, not a comment:
+
+* :func:`iceberg_available` detects a configured Iceberg catalog on the
+  live session (conf inspection + JVM class probe; no jars -> ``None``).
+* :func:`make_store` is the strategy selector every caller goes through:
+  ``backend="auto"`` picks Iceberg when a catalog is present, else the
+  parquet snapshot store — so a cluster with jars + a catalog conf gets the
+  production path with zero code changes (set ``CMS_STORE_BACKEND=iceberg``
+  to fail fast instead of silently falling back).
+* :class:`IcebergStore` implements the same commit/read/resume contract as
+  ``SnapshotStore``: one crawl wave = one MERGE/append set + one lineage
+  bump, i.e. one Iceberg snapshot chain step (the reference's single SQLite
+  transaction per wave, database_manager.py:319-371).
+
+Mapping of the parquet layout onto Iceberg:
+
+  manifest.json atomic pointer   -> Iceberg's own snapshot pointer; the
+                                    lineage dict rides a one-row ``lineage``
+                                    table written last (commit order gives
+                                    the same crash semantics: a crash before
+                                    the lineage write leaves the previous
+                                    lineage row authoritative and the wave
+                                    is replayed idempotently)
+  BucketedUpdate (replacement    -> MERGE INTO on the bucket key: matched
+  rows for dirty buckets)           rows update, new rows insert.  The
+                                    engine's replacement frame is a superset
+                                    of the delta, so MERGE is exact; tables
+                                    are created ``PARTITIONED BY
+                                    bucket(N, url)`` so the MERGE's file
+                                    rewrite set is the dirty buckets only —
+                                    the same O(touched) wave cost.
+  AppendUpdate / LiteralAppend   -> plain ``append()`` (fanout-free)
+  read_buckets(dirty)            -> predicate on the bucket partition
+                                    transform -> Iceberg metadata prunes to
+                                    the dirty buckets' files
+  rollback()                     -> ``CALL catalog.system.rollback_to_snapshot``
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from crawler_to_md_spark.store.warehouse import (
+    AppendUpdate,
+    BucketedUpdate,
+    LiteralAppend,
+    SnapshotStore,
+)
+
+_ICEBERG_CATALOG_CLASS_FRAGMENT = "iceberg"
+
+
+def iceberg_available(spark: SparkSession) -> str | None:
+    """Name of the first configured Iceberg catalog on this session, or
+    ``None``.  Detection is conf-driven (``spark.sql.catalog.<name>`` set to
+    an Iceberg catalog class) plus a JVM probe that the class actually
+    loads — a conf pointing at jars that are not on the classpath does not
+    count as available."""
+    try:
+        # `SET` lists every non-default conf — static (spark-submit --conf,
+        # how real deployments configure catalogs) AND runtime-set
+        pairs = [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
+    except Exception:
+        return None
+    for key, value in pairs:
+        if not key.startswith("spark.sql.catalog.") or key.count(".") != 3:
+            continue
+        if _ICEBERG_CATALOG_CLASS_FRAGMENT not in (value or "").lower():
+            continue
+        name = key.rsplit(".", 1)[1]
+        try:  # class probe: jars really on the classpath?
+            spark._jvm.java.lang.Class.forName(value)  # noqa: SLF001
+        except Exception:
+            continue
+        return name
+    return None
+
+
+def merge_upsert_sql(target: str, source_view: str, key_cols: list[str],
+                     columns: list[str]) -> str:
+    """MERGE INTO text for a last-write-wins upsert (the reference's
+    ``INSERT ... ON CONFLICT(url) DO UPDATE``, database_manager.py:103-123,
+    and the wave's links visited/retry update, :319-371)."""
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in key_cols)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def create_table_sql(target: str, schema: StructType, bucket_key: str,
+                     n_buckets: int) -> str:
+    """CREATE TABLE with the bucket partition transform that gives MERGE
+    its O(touched-buckets) file rewrite set."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {target} ({cols}) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, {bucket_key}))"
+    )
+
+
+class IcebergStore:
+    """Same contract as :class:`SnapshotStore`, over an Iceberg catalog.
+
+    Requires a live catalog (``iceberg_available``); every operation is
+    Spark SQL against ``<catalog>.<namespace>.<table>`` so Iceberg's own
+    snapshot/ACID machinery replaces the manifest file.  Lineage (frontier
+    offset, bloom shard version, fetch counters) lives in a one-row
+    ``lineage`` table written LAST within ``commit`` — the resume path
+    trusts lineage, so a crash mid-commit replays the wave idempotently
+    (MERGE is idempotent on keys; appends are deduped by ``batch_id``).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str,
+                 namespace: str = "crawl", retain: int = 2,
+                 schemas: dict[str, StructType] | None = None,
+                 n_buckets: int = 1024, bucket_key: str = "url",
+                 aux_dir: str = ""):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        # auxiliary non-table state (bloom shard files) keeps a filesystem /
+        # object-store home even under Iceberg — same contract as
+        # SnapshotStore.dir
+        self.dir = aux_dir
+        self.retain = max(1, retain)
+        self.schemas = schemas or {}
+        self.n_buckets = n_buckets
+        self.bucket_key = bucket_key
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    # -- naming -------------------------------------------------------------
+
+    def _qualified(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    # -- state --------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self._qualified("lineage"))
+
+    @property
+    def manifest(self) -> dict[str, Any]:
+        row = (
+            self.spark.table(self._qualified("lineage"))
+            .orderBy(F.col("batch_id").desc()).first()
+        )
+        if row is None:
+            return {"batch_id": -1, "lineage": {}}
+        return {"batch_id": int(row["batch_id"]),
+                "lineage": json.loads(row["lineage_json"])}
+
+    @property
+    def batch_id(self) -> int:
+        return int(self.manifest["batch_id"])
+
+    @property
+    def lineage(self) -> dict[str, Any]:
+        return self.manifest["lineage"]
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        q = self._qualified(table)
+        if not self.spark.catalog.tableExists(q):
+            return self.spark.createDataFrame([], self.schemas[table])
+        return self.spark.table(q)
+
+    def read_buckets(self, table: str, buckets: list[int]) -> DataFrame:
+        """Iceberg prunes to the dirty buckets' data files via the bucket
+        partition transform — the predicate mirrors the transform exactly."""
+        df = self.read(table)
+        if not buckets:
+            return df.limit(0)
+        key = (F.col("url_hash") if "url_hash" in df.columns
+               else F.xxhash64(F.col(self.bucket_key)))
+        return df.filter(
+            F.pmod(key, F.lit(self.n_buckets)).cast("int").isin(
+                [int(b) for b in buckets])
+        )
+
+    def bucket_entry(self, table: str) -> dict | None:
+        return {"kind": "bucketed", "n_buckets": self.n_buckets,
+                "buckets": {}}
+
+    # -- commits ------------------------------------------------------------
+
+    def _ensure_table(self, name: str, df: DataFrame) -> None:
+        q = self._qualified(name)
+        if self.spark.catalog.tableExists(q):
+            return
+        self.spark.sql(create_table_sql(
+            q, self.schemas.get(name) or df.schema,
+            self.bucket_key, self.n_buckets))
+
+    def commit(
+        self,
+        tables: "dict[str, DataFrame | BucketedUpdate | AppendUpdate | LiteralAppend]",
+        batch_id: int,
+        lineage: "dict[str, Any] | Callable[[], dict[str, Any]] | None" = None,
+        extra_tasks: "list[Callable[[], None]] | None" = None,
+    ) -> None:
+        for task in extra_tasks or []:
+            task()
+        for name, upd in tables.items():
+            q = self._qualified(name)
+            if isinstance(upd, BucketedUpdate):
+                self._ensure_table(name, upd.df)
+                view = f"__merge_src_{name}_{batch_id}"
+                upd.df.createOrReplaceTempView(view)
+                keys = ([upd.key_col, "url"] if upd.key_col in upd.df.columns
+                        else ["url"])
+                self.spark.sql(merge_upsert_sql(
+                    q, view, keys, upd.df.columns))
+                self.spark.catalog.dropTempView(view)
+            elif isinstance(upd, LiteralAppend):
+                df = self.spark.createDataFrame(upd.rows, upd.schema)
+                self._ensure_append_table(name, df)
+                df.writeTo(q).append()
+            elif isinstance(upd, AppendUpdate):
+                self._ensure_append_table(name, upd.df)
+                upd.df.writeTo(q).append()
+            else:  # whole-table replace
+                self._ensure_table(name, upd)
+                upd.writeTo(q).overwritePartitions()
+        if callable(lineage):
+            lineage = lineage()
+        lrow = self.spark.createDataFrame(
+            [(int(batch_id), json.dumps(lineage or {}))],
+            "batch_id long, lineage_json string")
+        lq = self._qualified("lineage")
+        if not self.spark.catalog.tableExists(lq):
+            lrow.writeTo(lq).using("iceberg").create()
+        else:
+            lrow.writeTo(lq).append()
+        self._expire(batch_id)
+
+    def _ensure_append_table(self, name: str, df: DataFrame) -> None:
+        q = self._qualified(name)
+        if not self.spark.catalog.tableExists(q):
+            df.limit(0).writeTo(q).using("iceberg").create()
+
+    def _expire(self, batch_id: int) -> None:
+        """Retention: keep ``retain`` wave snapshots per table (Iceberg's
+        own expire_snapshots procedure — the parquet store's _gc analog)."""
+        keep_after = batch_id - self.retain
+        if keep_after <= 0:
+            return
+        self.spark.sql(
+            f"DELETE FROM {self._qualified('lineage')} "
+            f"WHERE batch_id < {keep_after}")
+
+    def rollback(self) -> None:
+        m = self.manifest
+        self.spark.sql(
+            f"DELETE FROM {self._qualified('lineage')} "
+            f"WHERE batch_id = {m['batch_id']}")
+        for name in self.schemas:
+            q = self._qualified(name)
+            if not self.spark.catalog.tableExists(q):
+                continue
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rollback_to_snapshot"
+                f"('{self.namespace}.{name}', "
+                f"(SELECT snapshot_id FROM {q}.history "
+                f" ORDER BY made_current_at DESC LIMIT 1 OFFSET 1))")
+
+    def destroy(self) -> None:
+        for name in list(self.schemas) + ["lineage"]:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._qualified(name)} PURGE")
+
+
+def make_store(
+    spark: SparkSession,
+    warehouse_dir: str,
+    schemas: dict[str, StructType] | None = None,
+    backend: str | None = None,
+    retain: int = 2,
+) -> "SnapshotStore | IcebergStore":
+    """Strategy selector.  ``backend``: ``"parquet"`` forces the snapshot
+    store, ``"iceberg"`` requires a live catalog (raises otherwise — no
+    silent fallback when the deployment asked for Iceberg), ``"auto"``
+    (default, env ``CMS_STORE_BACKEND``) uses Iceberg iff a catalog is
+    configured and loadable."""
+    import os
+
+    backend = backend or os.environ.get("CMS_STORE_BACKEND", "auto")
+    if backend == "parquet":
+        return SnapshotStore(spark, warehouse_dir, retain=retain,
+                             schemas=schemas)
+    catalog = iceberg_available(spark)
+    if backend == "iceberg":
+        if catalog is None:
+            raise RuntimeError(
+                "CMS_STORE_BACKEND=iceberg but no Iceberg catalog is "
+                "configured/loadable on this session (set "
+                "spark.sql.catalog.<name> to an Iceberg catalog class and "
+                "put the iceberg-spark-runtime jars on the classpath)")
+        return IcebergStore(spark, catalog, retain=retain, schemas=schemas,
+                            aux_dir=warehouse_dir)
+    if backend != "auto":
+        raise ValueError(f"unknown store backend: {backend!r}")
+    if catalog is not None:
+        return IcebergStore(spark, catalog, retain=retain, schemas=schemas,
+                            aux_dir=warehouse_dir)
+    return SnapshotStore(spark, warehouse_dir, retain=retain, schemas=schemas)

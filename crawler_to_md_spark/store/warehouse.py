@@ -93,6 +93,11 @@ class LiteralAppend:
             [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
             schema=arrow_schema,
         )
+        # a crashed prior commit (or an old Spark-written segment) may have
+        # left differently-named part files in this snap dir; the read path
+        # globs the whole dir, so stale files would come back as duplicate
+        # rows — clear it like Spark's overwrite mode does
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 

@@ -135,6 +135,13 @@ class StreamingScheduler:
             return  # epoch replay after failure: already committed, skip
 
         spark = batch.sparkSession
+        from crawler_to_md_spark.session import url_pipeline_confs
+
+        with url_pipeline_confs(spark):
+            self._process_batch_inner(batch, epoch_id, lineage, spark)
+
+    def _process_batch_inner(self, batch: DataFrame, epoch_id: int,
+                             lineage: dict, spark) -> None:
         if not self.store.exists():
             # snapshot 0: empty frontier (stream may start before any seed)
             self.store.commit(

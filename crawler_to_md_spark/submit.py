@@ -135,6 +135,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         own, cli_args = argv, []
     args = p.parse_args(own)
+    for kv in args.conf:
+        if "=" not in kv:
+            p.error(f"--conf expects k=v, got: {kv!r}")
     conf = dict(kv.split("=", 1) for kv in args.conf)
     env = dict(os.environ)
     env.setdefault("PYSPARK_PYTHON", sys.executable)

@@ -54,6 +54,36 @@ def test_url_crawl_and_exports(spark, tmp_path, corpus_path):
     assert data and {"url", "content", "metadata"} <= set(data[0])
 
 
+def test_default_sharded_export_byte_identical_to_small(spark, tmp_path,
+                                                        corpus_path):
+    """The CLI default is the executor-written sharded export path;
+    --small-export keeps the driver-collect assembly.  Same crawl cache,
+    byte-identical files both ways."""
+    common = ["--url", corpus.seed_url(),
+              "--base-url", "https://h0.example.com/",
+              "--corpus-parquet", corpus_path, "--title", "Parity"]
+    rc1, out1, cache = _run(spark, tmp_path, *common, name="sharded")
+    # reuse the cache (resume path) so both exports render the same crawl
+    out2 = str(tmp_path / "out_small")
+    rc2 = cli.main(["--output-folder", out2, "--cache-folder", cache,
+                    *common, "--small-export"], spark=spark)
+    assert rc1 == 0 and rc2 == 0
+
+    def _read(base):
+        sub = os.listdir(base)[0]
+        d = os.path.join(base, sub)
+        return (open(os.path.join(d, "Parity.md"), "rb").read(),
+                open(os.path.join(d, "Parity.json"), "rb").read())
+
+    md1, js1 = _read(out1)
+    md2, js2 = _read(out2)
+    assert md1 == md2 and js1 == js2
+    # and no shard temp dirs left behind next to the outputs
+    sub = os.listdir(out1)[0]
+    assert not [f for f in os.listdir(os.path.join(out1, sub))
+                if f.startswith(("md_shards_", "json_shards_"))]
+
+
 def test_no_markdown_no_json_flags(spark, tmp_path, corpus_path):
     rc, out, _ = _run(
         spark, tmp_path, "--url", corpus.seed_url(),
