@@ -124,6 +124,14 @@ def get_spark(
     # (288k vs 385k) while small-heap runs got slightly faster, i.e. it
     # distorts rather than levels strong-scaling comparisons.
     gc_opts = "-XX:+UseParallelGC"
+    # Fixed driver heap (-Xms = -Xmx): heap-growth pauses during the first
+    # minutes of a run add one-sided wall-clock noise that distorts
+    # strong-scaling comparisons; committing the full heap up front removes
+    # them (the sandbox has 128 GiB, and a production deployment sets
+    # Xms=Xmx for the same reason).  Executor JVMs (local-cluster mode) size
+    # their own heap via spark.executor.memory and keep the plain GC opts.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    driver_opts = f"{gc_opts} -Xms{driver_mem}"
 
     # shuffle/spill to tmpfs when available: the sandbox VM's block device
     # saturates under shuffle writes and serializes scaling runs (a real
@@ -149,8 +157,8 @@ def get_spark(
         # crawls.  5 min bounds the accumulation (see operators/crawl.py
         # for the executor-loss trade-off note).
         .config("spark.cleaner.periodicGC.interval", "5min")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", driver_opts)
         .config("spark.executor.extraJavaOptions", gc_opts)
     )
     if local_dir:
