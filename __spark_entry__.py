@@ -406,6 +406,34 @@ def _q_host_windows(spark, sf_dir):
     )
 
 
+def _q_robots_gate(spark, sf_dir):
+    """Robots gating end-to-end minus HTTP: a robots.txt BODY is derived
+    arithmetically per host (even host ids publish a '*' group disallowing
+    /docs/p1,/docs/p3 plus a more specific 'mybot' group disallowing
+    /docs/p2; odd host ids publish an empty-Disallow allow-all), parsed by
+    the engine's RFC 9309-lite parser (sources/robots.py — group selection
+    must pick the 'mybot' group over '*'), and the corpus URL set is gated
+    through politeness.robots_filter.  DuckDB recomputes the allowed set
+    from the same host-id arithmetic: only even-host pages whose page id
+    starts with '2' are blocked."""
+    from crawler_to_md_spark.operators.politeness import robots_filter
+    from crawler_to_md_spark.sources.robots import parse_robots
+
+    pages = _corpus_df(spark, sf_dir).select("url", "host")
+    host_id = F.expr("CAST(substr(split_part(host, '.', 1), 2) AS INT)")
+    body = F.when(
+        host_id % 2 == 0,
+        F.lit("User-agent: *\nDisallow: /docs/p1\nDisallow: /docs/p3\n\n"
+              "User-agent: mybot\nDisallow: /docs/p2\n"),
+    ).otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    parse = F.udf(lambda t: parse_robots(t, "mybot/1.0"), "array<string>")
+    rules = (
+        pages.select("host").distinct()
+        .select("host", parse(body).alias("disallow"))
+    )
+    return robots_filter(pages, rules).select("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_class_histogram": _q_corpus_class_histogram,
@@ -434,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "stream_schedule": _q_stream_schedule,
         "host_windows": _q_host_windows,
+        "robots_gate": _q_robots_gate,
     }
 
 
@@ -612,6 +641,13 @@ def oracle_sql() -> dict[str, str]:
                    {corpus.HOST_SQL.format(g='f.dst')} AS host,
                    f.epoch
             FROM first_seen f
+        """,
+        "robots_gate": f"""
+            {_meta_cte()}
+            SELECT url FROM corpus_meta
+            WHERE cls <> 'missing'
+              AND NOT (({corpus.HOST_ID_SQL.format(g='g')}) % 2 = 0
+                       AND CAST(g AS VARCHAR) LIKE '2%')
         """,
         "host_windows": """
             SELECT strftime(time_bucket(INTERVAL 1 minute, ts),

@@ -163,7 +163,10 @@ def stage_schedule(spark, sf_dir) -> dict:
     # iterations is the honest peak throughput at a parallelism level,
     # and sampling iterations inside one JVM is 3x cheaper than fresh
     # JVMs per sample (scaling comparisons need warm JVMs either way).
-    iters = int(os.environ.get("CMS_SCHED_ITERS", "1"))
+    # default 2: JIT warm-up is not complete after the single discarded
+    # warm pass at stage-phase sizes (measured: 1 timed sample records
+    # ~10.4 s where the second sample of the same JVM runs 4.5 s)
+    iters = int(os.environ.get("CMS_SCHED_ITERS", "2"))
     samples: list[float] = []
     for i in range(1 + iters):
         t0 = time.time()

@@ -24,6 +24,12 @@ Differences forced by the engine being distributed + sandboxed:
     (``sources/fetch.py``), where ``--proxy``/``--timeout`` apply.
   * ``--master`` picks the Spark master (default ``local[*]``).
 
+Engine-side additions beyond the reference surface:
+  * ``--sitemap-file`` seeds from a local sitemap.xml (sources/sitemap.py).
+  * ``--robots-parquet`` / ``--respect-robots`` gate the frontier on
+    per-host robots.txt rules (sources/robots.py + politeness.robots_filter
+    — the north rule's robots gating; the reference has none).
+
 As in the reference, seeding from ``--urls-file`` disables link discovery
 (static frontier, O9 — scraper.py:553-555,589) and leaves ``--base-url``
 unset unless given; ``--url`` crawls its site with base_url defaulting to
@@ -73,6 +79,19 @@ def build_parser() -> argparse.ArgumentParser:
     # Spark-engine specifics
     p.add_argument("--corpus-parquet",
                    help="Parquet page store standing in for HTTP fetch")
+    p.add_argument("--sitemap-file",
+                   help="Local sitemap.xml (urlset) to seed from; like "
+                        "--urls-file this crawls a static frontier.  A "
+                        "sitemapindex file is rejected — fetch its child "
+                        "sitemaps and pass those")
+    p.add_argument("--robots-parquet",
+                   help="Pre-built robots rules table "
+                        "(host string, disallow array<string>) to gate the "
+                        "frontier on (politeness.robots_filter)")
+    p.add_argument("--respect-robots", action="store_true", default=False,
+                   help="Fetch robots.txt over HTTP for every seed host "
+                        "before crawling and gate the frontier on the rules "
+                        "(sources/robots.py); needs network + requests")
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument("--small-export", action="store_true", default=False,
                    help="Assemble compiled exports on the driver (collect) "
@@ -109,6 +128,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         first = seed_df.orderBy("seed_seq").select("raw").first()
         if first is None or not first["raw"]:
             parser.error("urls file is empty")
+        first_url = first["raw"]
+    elif args.sitemap_file:
+        from crawler_to_md_spark.sources import sitemap as sitemap_src
+
+        with open(args.sitemap_file, encoding="utf-8") as f:
+            xml = f.read()
+        if sitemap_src.is_sitemap_index(xml):
+            parser.error("--sitemap-file is a sitemap index; fetch its "
+                         "child sitemaps and pass those instead")
+        seed_df = sitemap_src.sitemap_seed_frame(
+            spark.createDataFrame([(0, xml)], "file_seq long, xml string"))
+        urls_list_mode = True                    # sitemap = static frontier
+        first = seed_df.orderBy("seed_seq").select("raw").first()
+        if first is None or not first["raw"]:
+            parser.error("sitemap has no <loc> entries")
         first_url = first["raw"]
     elif args.url:
         seed_df = seed_src.single_seed_frame(spark, args.url)
@@ -156,7 +190,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         css_include=args.include,
         css_exclude=args.exclude,
     )
-    engine = CrawlEngine(spark, warehouse, corpus=corpus_df, config=config)
+    # ---- robots gate (north-rule robots.txt gating) ----------------------
+    robots_df = None
+    if args.robots_parquet:
+        robots_df = spark.read.parquet(args.robots_parquet)
+    elif args.respect_robots:
+        from crawler_to_md_spark.sources.fetch import FetchPolicy
+        from crawler_to_md_spark.sources.robots import fetch_robots
+
+        hosts = seed_df.select(
+            _.url_host(_.canonicalize_udf(F.col("raw"))).alias("host"))
+        robots_df = fetch_robots(
+            hosts, FetchPolicy(timeout=args.timeout, proxy=args.proxy),
+            agent="crawler-to-md-spark",
+        ).persist()
+        robots_df.count()   # materialize: the gate joins this every wave —
+        #                     without persist each wave would re-fetch HTTP
+
+    engine = CrawlEngine(spark, warehouse, corpus=corpus_df, config=config,
+                         robots=robots_df)
     resume = engine.store.exists()
     if not resume:
         engine.seed(seed_df)

@@ -1,0 +1,170 @@
+"""robots.txt source: fetch per-host rules and build the robots gate table.
+
+The north rule calls for "per-host politeness buckets and robots.txt gating";
+``operators/politeness.robots_filter`` already gates the frontier on a
+``(host string, disallow array<string>)`` rules table — this module is the
+production producer of that table.  (The reference itself has no robots
+support; the gate is one of this engine's additions, so the parsing below
+follows RFC 9309 rather than any reference code.)
+
+Pipeline shape, Spark-first: the distinct-host set is orders of magnitude
+smaller than the frontier (one row per registrable host), so robots fetching
+is a tiny ``mapInPandas`` stage — one pooled transport session per
+partition, one GET per host — and the resulting rules table broadcasts into
+the gate join (politeness.py:139-149).  At 10^10 frontier rows and ~10^6
+hosts the rules table is a few hundred MB: still broadcastable, refreshed
+per crawl run, never per wave.
+
+RFC 9309 subset implemented (documented simplifications):
+
+* group selection: the group whose ``User-agent`` token is the longest
+  case-insensitive substring of our agent product token wins; ``*`` is the
+  fallback.  Multiple groups with the same specificity merge (RFC 9309 §2.2.1).
+* ``Disallow`` path prefixes only.  ``Allow`` overrides are NOT modeled —
+  the gate errs conservative (a path both allowed and disallowed stays
+  disallowed), which for a politeness gate is the safe direction.
+* an empty ``Disallow:`` value (allow-all marker) contributes no prefix.
+* unreachable / non-200 robots.txt → no rules row → host fully allowed,
+  matching the NULL semantics of ``robots_allowed`` (politeness.py:130-136)
+  and the RFC's "unavailable = allow" for 4xx.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.sources.fetch import FetchPolicy, Transport
+
+ROBOTS_RESULT_DDL = "host string, disallow array<string>"
+
+
+def parse_robots(text: str, agent: str = "*") -> list[str]:
+    """Disallow path prefixes applying to ``agent`` from a robots.txt body.
+
+    Returns the merged prefixes of the most specific matching group(s):
+    the longest ``User-agent`` token that is a substring of ``agent``
+    (case-insensitive), falling back to the ``*`` group(s).  A line's
+    trailing ``#`` comment is stripped; blank lines only end a group's
+    user-agent header run, per RFC 9309 §2.2.
+    """
+    agent_lc = (agent or "*").lower()
+    groups: list[tuple[list[str], list[str]]] = []  # (agent tokens, prefixes)
+    cur_agents: list[str] = []
+    cur_rules: list[str] | None = None
+    for raw_line in (text or "").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur_rules is not None:
+                # a rules run ended: close the group, start a new header run
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], None
+            cur_agents.append(value.lower())
+        elif field in ("disallow", "allow", "crawl-delay", "sitemap"):
+            if field == "sitemap":
+                continue             # global directive, not part of a group
+            if not cur_agents:
+                continue             # rules before any user-agent: ignored
+            if cur_rules is None:
+                cur_rules = []
+            if field == "disallow" and value:
+                cur_rules.append(value)
+    if cur_agents:
+        groups.append((cur_agents, cur_rules or []))
+
+    def specificity(tokens: list[str]) -> int:
+        best = -1
+        for t in tokens:
+            if t == "*":
+                best = max(best, 0)
+            elif t and t in agent_lc:
+                best = max(best, len(t))
+        return best
+
+    best_spec = max((specificity(a) for a, _ in groups), default=-1)
+    if best_spec < 0:
+        return []
+    merged: list[str] = []
+    for tokens, rules in groups:
+        if specificity(tokens) == best_spec:
+            merged.extend(p for p in rules if p not in merged)
+    return merged
+
+
+def requests_text_transport() -> Transport:
+    """Transport returning the body for ANY content type (robots.txt is
+    text/plain, which the HTML-gated page transport deliberately drops).
+    Import-gated like ``requests_transport``; tests inject fakes."""
+    try:
+        import requests
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "requests is not installed in this environment; inject a "
+            "transport (see tests/test_robots.py) or install requests "
+            "for a live deployment"
+        ) from e
+
+    session = requests.Session()
+
+    def transport(url, timeout, proxy, want_body):  # pragma: no cover
+        proxies = {"http": proxy, "https": proxy} if proxy else None
+        r = session.get(url, timeout=timeout, proxies=proxies)
+        return r.status_code, r.headers.get("Content-Type"), (
+            r.content if want_body else None), None
+
+    return transport
+
+
+def fetch_robots(
+    hosts: DataFrame,
+    policy: FetchPolicy | None = None,
+    transport_factory: Callable[[], Transport] = requests_text_transport,
+    agent: str = "*",
+    scheme: str = "https",
+    host_col: str = "host",
+) -> DataFrame:
+    """Fetch + parse ``robots.txt`` for every distinct host in ``hosts``.
+
+    One ``mapInPandas`` stage: each task opens one transport session and
+    GETs ``{scheme}://{host}/robots.txt`` per host; the body is parsed in
+    the same task (no second pass, no driver round-trip).  Hosts whose
+    robots.txt is unreachable or non-200 produce NO output row — absent
+    from the rules table means fully allowed (robots_allowed NULL
+    semantics).  The result feeds ``politeness.robots_filter`` /
+    ``CrawlEngine(robots=...)`` directly.
+    """
+    pol = policy or FetchPolicy()
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()   # one session per partition/task
+        for pdf in batches:
+            out_host: list[str] = []
+            out_rules: list[list[str]] = []
+            for host in pdf[host_col]:
+                url = f"{scheme}://{host}/robots.txt"
+                try:
+                    status, _ct, body, err = transport(
+                        url, pol.timeout, pol.proxy, True)
+                except Exception:     # connection failure = no rules row
+                    continue
+                if err is not None or status != 200 or body is None:
+                    continue
+                text = body.decode("utf-8", errors="replace") if isinstance(
+                    body, (bytes, bytearray)) else str(body)
+                out_host.append(str(host))
+                out_rules.append(parse_robots(text, agent))
+            yield pd.DataFrame({"host": out_host, "disallow": out_rules})
+
+    return (
+        hosts.select(F.col(host_col).alias(host_col))
+        .distinct()
+        .mapInPandas(run, schema=ROBOTS_RESULT_DDL)
+    )

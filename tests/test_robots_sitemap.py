@@ -1,0 +1,266 @@
+"""robots.txt source (fetch + RFC 9309-lite parse) and sitemap seeds.
+
+The robots gate itself (politeness.robots_filter) is covered in
+test_crawl.py; these tests cover the PRODUCERS of its inputs: the per-host
+robots fetch/parse stage and the sitemap seed frame.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators.politeness import robots_filter
+from crawler_to_md_spark.sources.fetch import FetchPolicy
+from crawler_to_md_spark.sources.robots import fetch_robots, parse_robots
+from crawler_to_md_spark.sources.sitemap import (
+    expand_sitemap_index,
+    is_sitemap_index,
+    parse_sitemap_locs,
+    sitemap_seed_frame,
+)
+
+ROBOTS_TXT = """
+# global comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/   # trailing comment
+Disallow:
+
+User-agent: crawler-to-md
+User-agent: otherbot
+Disallow: /md-only/
+
+Sitemap: https://h0.example.com/sitemap.xml
+"""
+
+
+class TestParseRobots:
+    def test_star_group(self):
+        assert parse_robots(ROBOTS_TXT, "unknown-agent") == [
+            "/private/", "/tmp/"]
+
+    def test_specific_group_wins_over_star(self):
+        assert parse_robots(ROBOTS_TXT, "crawler-to-md/1.0") == ["/md-only/"]
+
+    def test_longest_agent_token_wins(self):
+        txt = ("User-agent: crawl\nDisallow: /a/\n\n"
+               "User-agent: crawler-to\nDisallow: /b/\n")
+        assert parse_robots(txt, "crawler-to-md") == ["/b/"]
+
+    def test_same_specificity_groups_merge(self):
+        txt = ("User-agent: *\nDisallow: /a/\n\n"
+               "User-agent: *\nDisallow: /b/\nDisallow: /a/\n")
+        assert parse_robots(txt, "x") == ["/a/", "/b/"]
+
+    def test_empty_disallow_allows_all(self):
+        assert parse_robots("User-agent: *\nDisallow:\n", "x") == []
+
+    def test_case_insensitive_fields_and_crlf(self):
+        txt = "USER-AGENT: *\r\nDISALLOW: /x/\r\n"
+        assert parse_robots(txt, "anybot") == ["/x/"]
+
+    def test_rules_before_any_group_ignored(self):
+        assert parse_robots("Disallow: /x/\n", "x") == []
+
+    def test_no_matching_group(self):
+        txt = "User-agent: googlebot\nDisallow: /g/\n"
+        assert parse_robots(txt, "crawler-to-md") == []
+        assert parse_robots(txt, "googlebot-images") == ["/g/"]
+
+    def test_empty_text(self):
+        assert parse_robots("", "x") == []
+        assert parse_robots(None, "x") == []
+
+
+def _fake_transport_factory(bodies: dict[str, tuple[int, bytes | None]]):
+    def factory():
+        def transport(url, timeout, proxy, want_body):
+            status, body = bodies.get(url, (0, None))
+            if status == 0:
+                raise ConnectionError("unreachable")
+            return status, "text/plain", body if want_body else None, None
+        return transport
+    return factory
+
+
+class TestFetchRobots:
+    def test_rules_table_and_gate(self, spark):
+        bodies = {
+            "https://a.example.com/robots.txt":
+                (200, b"User-agent: *\nDisallow: /private/\n"),
+            "https://b.example.com/robots.txt": (404, None),
+            # c.example.com: connection error -> no row
+        }
+        hosts = spark.createDataFrame(
+            [("a.example.com",), ("b.example.com",), ("c.example.com",),
+             ("a.example.com",)],                      # dupe: distinct-ed
+            "host string")
+        rules = fetch_robots(hosts, FetchPolicy(timeout=1.0),
+                             _fake_transport_factory(bodies))
+        got = {r["host"]: list(r["disallow"]) for r in rules.collect()}
+        # only the host with a 200 robots.txt produces a rules row
+        assert got == {"a.example.com": ["/private/"]}
+
+        batch = spark.createDataFrame(
+            [("https://a.example.com/private/x", "a.example.com"),
+             ("https://a.example.com/ok", "a.example.com"),
+             ("https://b.example.com/private/x", "b.example.com"),
+             ("https://c.example.com/anything", "c.example.com")],
+            "url string, host string")
+        kept = sorted(
+            r["url"] for r in robots_filter(batch, rules).collect())
+        assert kept == [
+            "https://a.example.com/ok",
+            "https://b.example.com/private/x",   # no rules row = allowed
+            "https://c.example.com/anything",
+        ]
+
+    def test_agent_specific_rules(self, spark):
+        bodies = {"https://a.example.com/robots.txt": (200, (
+            b"User-agent: *\nDisallow: /all/\n\n"
+            b"User-agent: mybot\nDisallow: /mine/\n"))}
+        hosts = spark.createDataFrame([("a.example.com",)], "host string")
+        rules = fetch_robots(hosts, FetchPolicy(),
+                             _fake_transport_factory(bodies), agent="mybot/2")
+        assert rules.collect()[0]["disallow"] == ["/mine/"]
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://h0.example.com/docs/p0</loc></url>
+  <url><loc> https://h0.example.com/docs/p1 </loc><priority>0.5</priority></url>
+  <url><loc><![CDATA[https://h0.example.com/a?x=1&amp;y=2]]></loc></url>
+</urlset>
+"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://h0.example.com/sitemap-a.xml</loc></sitemap>
+  <sitemap><loc>https://h0.example.com/sitemap-b.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+
+class TestSitemap:
+    def test_parse_locs_order_cdata_entities(self):
+        assert parse_sitemap_locs(SITEMAP) == [
+            "https://h0.example.com/docs/p0",
+            "https://h0.example.com/docs/p1",
+            "https://h0.example.com/a?x=1&y=2",
+        ]
+
+    def test_index_detection_and_expand(self):
+        assert is_sitemap_index(SITEMAP_INDEX)
+        assert not is_sitemap_index(SITEMAP)
+        assert expand_sitemap_index(SITEMAP_INDEX) == [
+            "https://h0.example.com/sitemap-a.xml",
+            "https://h0.example.com/sitemap-b.xml",
+        ]
+        assert expand_sitemap_index(SITEMAP) == []
+
+    def test_seed_frame_order_across_files(self, spark):
+        sm2 = SITEMAP.replace("/docs/p0", "/docs/p9")
+        docs = spark.createDataFrame(
+            [(1, sm2), (0, SITEMAP)], "file_seq long, xml string")
+        rows = (sitemap_seed_frame(docs).orderBy("seed_seq")
+                .select("raw").collect())
+        urls = [r["raw"] for r in rows]
+        # file 0's locs first (in document order), then file 1's
+        assert urls[0] == "https://h0.example.com/docs/p0"
+        assert urls[3] == "https://h0.example.com/docs/p9"
+        assert len(urls) == 6
+
+    def test_cli_sitemap_seeding(self, spark, tmp_path):
+        """--sitemap-file seeds a static frontier; only sitemap pages are
+        crawled/exported."""
+        import json
+        import os
+
+        from crawler_to_md_spark import cli
+        from crawler_to_md_spark.sources import corpus
+
+        cp = str(tmp_path / "corpus.parquet")
+        corpus.synth_corpus(spark, "/root/testdata/sf0.001", replicas=1) \
+            .write.mode("overwrite").parquet(cp)
+        sm = tmp_path / "sitemap.xml"
+        sm.write_text(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://h0.example.com/docs/p0</loc></url>"
+            "<url><loc>https://h0.example.com/docs/p1</loc></url>"
+            "</urlset>")
+        out = str(tmp_path / "out")
+        rc = cli.main(
+            ["--output-folder", out, "--cache-folder",
+             str(tmp_path / "cache"), "--sitemap-file", str(sm),
+             "--corpus-parquet", cp, "--title", "SM"], spark=spark)
+        assert rc == 0
+        sub = os.listdir(out)[0]
+        data = json.loads(open(os.path.join(out, sub, "SM.json"),
+                               encoding="utf-8").read())
+        assert sorted(d["url"] for d in data) == [
+            "https://h0.example.com/docs/p0",
+            "https://h0.example.com/docs/p1",
+        ]
+
+    def test_cli_sitemap_index_rejected(self, spark, tmp_path):
+        from crawler_to_md_spark import cli
+
+        sm = tmp_path / "index.xml"
+        sm.write_text(SITEMAP_INDEX)
+        with pytest.raises(SystemExit):
+            cli.main(["--output-folder", str(tmp_path / "o"),
+                      "--cache-folder", str(tmp_path / "c"),
+                      "--sitemap-file", str(sm)], spark=spark)
+
+    def test_cli_robots_parquet_gates_crawl(self, spark, tmp_path):
+        """--robots-parquet rules keep disallowed paths out of the crawl."""
+        import json
+        import os
+
+        from crawler_to_md_spark import cli
+        from crawler_to_md_spark.sources import corpus
+
+        cp = str(tmp_path / "corpus.parquet")
+        corpus.synth_corpus(spark, "/root/testdata/sf0.001", replicas=1) \
+            .write.mode("overwrite").parquet(cp)
+        rp = str(tmp_path / "robots.parquet")
+        spark.createDataFrame(
+            [("h0.example.com", ["/docs/p1"])],
+            "host string, disallow array<string>",
+        ).write.mode("overwrite").parquet(rp)
+        out = str(tmp_path / "out")
+        rc = cli.main(
+            ["--output-folder", out, "--cache-folder",
+             str(tmp_path / "cache"), "--url", corpus.seed_url(),
+             "--base-url", "https://h0.example.com/",
+             "--corpus-parquet", cp, "--robots-parquet", rp,
+             "--title", "RB"], spark=spark)
+        assert rc == 0
+        sub = os.listdir(out)[0]
+        data = json.loads(open(os.path.join(out, sub, "RB.json"),
+                               encoding="utf-8").read())
+        urls = {d["url"] for d in data}
+        assert urls                                  # crawl still ran
+        # every /docs/p1-prefixed URL (p1, p1x, p1xx...) was gated out
+        assert not any(
+            u.startswith("https://h0.example.com/docs/p1") for u in urls)
+
+    def test_seed_frame_feeds_engine_seed(self, spark, tmp_path):
+        """End-to-end: sitemap locs -> CrawlEngine.seed order-dedup."""
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+
+        dup = SITEMAP.replace("/docs/p1", "/docs/p0")  # p0 twice + cdata url
+        docs = spark.createDataFrame([(0, dup)], "file_seq long, xml string")
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            config=CrawlConfig(scope_domain="example.com",
+                               discover_links=False))
+        n = eng.seed(sitemap_seed_frame(docs))
+        assert n == 2      # p0 deduped, query-url kept
+        seeded = sorted(r["url"] for r in eng.links().collect())
+        assert seeded == [
+            "https://h0.example.com/a?x=1&y=2",
+            "https://h0.example.com/docs/p0",
+        ]
