@@ -150,9 +150,16 @@ class CrawlConfig:
     # (skew-join + partition coalescing outweigh the barrier cost there)
     aqe_in_waves: bool = False
     use_bloom: bool = True
+    # URL-seen filter backend: "bloom" (default; functions/bloom.py) or
+    # "cuckoo" (functions/cuckoo.py — supports DELETION, e.g. a recrawl
+    # policy re-opening URLs after TTL).  Same sharded-file architecture,
+    # same lineage key; a warehouse must be resumed with the same backend
+    # it was seeded with.
+    seen_filter: str = "bloom"
     bloom_shards: int = 32
     bloom_bits: int = 1 << 20                # per shard; power of 2
     bloom_hashes: int = 7
+    cuckoo_buckets: int = 1 << 15            # per shard; 4 slots/bucket
     # links/docs bucket count (pmod(url_hash, B)): wave commits rewrite
     # only buckets containing touched URLs, so per-wave write volume is
     # O(frontier/B * touched_buckets + wave), not O(frontier).  Size B so
@@ -229,13 +236,20 @@ class CrawlEngine:
     def _bloom_dir(self) -> str:
         return os.path.join(self.store.dir, "bloom")
 
+    def _seen_store_cls(self):
+        if self.config.seen_filter == "cuckoo":
+            from crawler_to_md_spark.functions.cuckoo import CuckooShardStore
+
+            return CuckooShardStore
+        return BloomShardStore
+
     def _load_bloom(self) -> BloomShardStore | None:
         if not self.config.use_bloom:
             return None
         version = self.store.lineage.get("bloom_version")
         if version is None:
             return None
-        return BloomShardStore.open(self._bloom_dir(), version)
+        return self._seen_store_cls().open(self._bloom_dir(), version)
 
     # ------------------------------------------------------------------
     # seeding (scraper.py:375-402 + utils.py:94-106 order-dedup)
@@ -293,8 +307,13 @@ class CrawlEngine:
         lineage: dict = {"runs": 0, "counters": {"seeds": links.count()}}
         if self.config.use_bloom:
             c = self.config
-            bloom = BloomShardStore.create(
-                self._bloom_dir(), c.bloom_shards, c.bloom_bits, c.bloom_hashes)
+            if c.seen_filter == "cuckoo":
+                bloom = self._seen_store_cls().create(
+                    self._bloom_dir(), c.bloom_shards, c.cuckoo_buckets)
+            else:
+                bloom = BloomShardStore.create(
+                    self._bloom_dir(), c.bloom_shards, c.bloom_bits,
+                    c.bloom_hashes)
             bloom.add_dataframe(links)
             lineage["bloom_version"] = bloom.version
         B = self.config.store_buckets
