@@ -678,8 +678,9 @@ class CrawlEngine:
             robots=self.robots,
         )
         counters = self.store.lineage.get("counters", {})
-        seen_count = int(counters.get("seeds", 0)) + int(
-            counters.get("links_inserted", 0))
+        seen_count = (int(counters.get("seeds", 0))
+                      + int(counters.get("links_inserted", 0))
+                      - int(counters.get("purged", 0)))
         cand = schedule.dedup_candidates(valid)
         if bloom is not None and seen_count > schedule.BROADCAST_SEEN_MAX:
             # two-branch bloom form: materialize candidates once so both
@@ -789,3 +790,103 @@ class CrawlEngine:
                 break
             out.append(self.run(resume=True))
         return out
+
+    # ------------------------------------------------------------------
+    # frontier lifecycle beyond the reference: TTL recrawl + removal
+    # ------------------------------------------------------------------
+
+    def _urls_df(self, urls: "list[str] | DataFrame") -> DataFrame:
+        if isinstance(urls, DataFrame):
+            return urls.select("url")
+        return self.spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def _bucket_count(self) -> int:
+        entry = self.store.bucket_entry("links")
+        if entry is not None:
+            return int(entry["n_buckets"])
+        return self.config.store_buckets
+
+    def _dirty_buckets(self, tgt: DataFrame, B: int) -> list[int]:
+        return sorted({
+            r["b"] for r in tgt.select(
+                F.pmod(F.xxhash64(F.col("url")), F.lit(B))
+                .cast("int").alias("b")).distinct().collect()
+        })
+
+    def reopen(self, urls: "list[str] | DataFrame") -> int:
+        """TTL recrawl: mark the given (canonical) URLs unvisited with a
+        fresh retry budget, so the next run re-fetches them and upserts
+        their doc rows last-write-wins.  Partial commit — only buckets
+        containing reopened URLs rewrite.  Returns #matched rows."""
+        tgt = self._urls_df(urls).persist()
+        n = tgt.count()
+        if n:
+            B = self._bucket_count()
+            dirty = self._dirty_buckets(tgt, B)
+            flagged = tgt.withColumn("__ro", F.lit(True))
+            links_new = (
+                self.store.read_buckets("links", dirty)
+                .join(flagged, "url", "left")
+                .withColumn("visited",
+                            F.col("visited") & F.col("__ro").isNull())
+                .withColumn(
+                    "retry_count",
+                    F.when(F.col("__ro").isNotNull(), F.lit(0))
+                    .otherwise(F.col("retry_count")))
+                .drop("__ro")
+            )
+            self.store.commit(
+                {"links": BucketedUpdate(links_new, dirty, B)},
+                batch_id=self.store.batch_id + 1,
+                lineage=dict(self.store.lineage),
+            )
+        tgt.unpersist()
+        return n
+
+    def purge(self, urls: "list[str] | DataFrame") -> int:
+        """Remove URLs from the frontier AND the docs store (takedown /
+        retention deletion).  With the cuckoo seen filter the hashes are
+        also DELETED from the filter, so a future re-discovery takes the
+        sure-new fast path again; with bloom the filter keeps a stale
+        positive — harmless for correctness (the candidate takes the
+        suspect branch, the exact anti-join finds no frontier row, and the
+        URL re-inserts) but permanently pays the exact-join cost, which is
+        exactly the trade the cuckoo backend exists to remove."""
+        tgt = self._urls_df(urls).persist()
+        n = tgt.count()
+        if n:
+            B = self._bucket_count()
+            dirty = self._dirty_buckets(tgt, B)
+            links_new = (
+                self.store.read_buckets("links", dirty)
+                .join(tgt, "url", "left_anti"))
+            docs_new = (
+                self.store.read_buckets("docs", dirty)
+                .join(tgt, "url", "left_anti"))
+            lineage = dict(self.store.lineage)
+            counters = dict(lineage.get("counters", {}))
+            # the broadcast-size hint (seeds + inserted - purged) stays in
+            # step with the true seen-set size
+            counters["purged"] = counters.get("purged", 0) + n
+            lineage["counters"] = counters
+            bloom = self._load_bloom()
+            extra = None
+            if bloom is not None and hasattr(bloom, "remove_dataframe"):
+                hashes = tgt.select(
+                    urlkit.url_hash(F.col("url")).alias("url_hash"))
+                extra = [functools.partial(bloom.remove_dataframe, hashes)]
+
+            def _final() -> dict:
+                if bloom is not None:
+                    lineage["bloom_version"] = bloom.version
+                return lineage
+
+            self.store.commit(
+                {"links": BucketedUpdate(links_new, dirty, B),
+                 "docs": BucketedUpdate(docs_new, dirty, B)},
+                batch_id=self.store.batch_id + 1,
+                lineage=_final,
+                extra_tasks=extra,
+            )
+        tgt.unpersist()
+        return n

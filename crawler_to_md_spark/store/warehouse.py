@@ -101,6 +101,34 @@ class LiteralAppend:
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
+    def write_compacted(self, path: str, prev_segments: list[str]) -> None:
+        """Write prior segments' rows + this append's rows as ONE segment
+        (driver-side pyarrow — append tables here are wave-counter rows,
+        KBs per file; a Spark job would be pure overhead)."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        files = sorted(
+            f for seg in prev_segments
+            for f in glob.glob(os.path.join(seg, "*.parquet")))
+        old = ds.dataset(files, format="parquet",
+                         schema=arrow_schema).to_table()
+        cols = list(zip(*self.rows)) if self.rows else [
+            [] for _ in self.schema.fields]
+        new = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(pa.concat_tables([old, new]),
+                       os.path.join(path, "part-00000.parquet"))
+
 
 class SnapshotStore:
     """Atomic multi-table snapshot commits over parquet directories.
@@ -114,11 +142,15 @@ class SnapshotStore:
     """
 
     def __init__(self, spark: SparkSession, warehouse_dir: str, retain: int = 2,
-                 schemas: dict[str, StructType] | None = None):
+                 schemas: dict[str, StructType] | None = None,
+                 compact_segments: int = 64):
         self.spark = spark
         self.dir = warehouse_dir
         self.retain = max(1, retain)
         self.schemas = schemas or {}
+        # append tables (metrics) compact into one segment once they hold
+        # this many files — bounds file count on long crawls
+        self.compact_segments = max(2, compact_segments)
         self._manifest_path = os.path.join(warehouse_dir, "manifest.json")
 
     # -- state ------------------------------------------------------------
@@ -209,14 +241,27 @@ class SnapshotStore:
                                                  prev["tables"].get(name))
             if isinstance(upd, (AppendUpdate, LiteralAppend)):
                 rel = f"{name}/snap-{batch_id:08d}"
+                old = prev["tables"].get(name)
+                segments = list(old["segments"]) if isinstance(old, dict) else (
+                    [old] if old else [])
+                if (isinstance(upd, LiteralAppend)
+                        and len(segments) >= self.compact_segments):
+                    # an append table grows one tiny segment per wave — a
+                    # 10^5-wave crawl would hold 10^5 parquet files whose
+                    # open/footer cost dominates every read.  Metrics-sized
+                    # rows compact driver-side with pyarrow (the segments
+                    # are wave counters, KBs each); the compacted file
+                    # becomes the sole live segment and the old files age
+                    # out with manifest history (_gc).
+                    upd.write_compacted(
+                        os.path.join(self.dir, rel),
+                        [os.path.join(self.dir, s) for s in segments])
+                    return name, {"kind": "append", "segments": [rel]}
                 if isinstance(upd, LiteralAppend):
                     upd.write(os.path.join(self.dir, rel))
                 else:
                     upd.df.write.mode("overwrite").parquet(
                         os.path.join(self.dir, rel))
-                old = prev["tables"].get(name)
-                segments = list(old["segments"]) if isinstance(old, dict) else (
-                    [old] if old else [])
                 return name, {"kind": "append", "segments": segments + [rel]}
             rel = f"{name}/snap-{batch_id:08d}"
             upd.write.mode("overwrite").parquet(os.path.join(self.dir, rel))

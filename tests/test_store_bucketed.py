@@ -132,3 +132,43 @@ def test_engine_wave_commits_are_incremental(spark, tmp_path):
     assert len(snaps) > 2, snaps
     # and the crawl state is intact
     assert eng.links().count() == eng.links().select("url").distinct().count()
+
+
+class TestAppendCompaction:
+    def test_metrics_segments_compact_and_preserve_rows(self, spark, tmp_path):
+        """Append tables hold one tiny file per wave; at the compaction
+        threshold they collapse into ONE segment with identical rows, and
+        history-retired segment files are GC'd."""
+        from crawler_to_md_spark.store.warehouse import LiteralAppend
+
+        st = SnapshotStore(spark, str(tmp_path / "wh"),
+                           schemas={"metrics": METRICS_SCHEMA},
+                           compact_segments=10)
+        n_waves = 25
+        for w in range(1, n_waves + 1):
+            st.commit({"metrics": LiteralAppend(
+                [(w, 1, w * 10, w, 0, 0, 0, 0)], METRICS_SCHEMA)},
+                batch_id=w)
+        entry = st.manifest["tables"]["metrics"]
+        assert entry["kind"] == "append"
+        assert len(entry["segments"]) <= 10           # bounded, not 25
+        rows = sorted((r["batch_id"], r["dequeued"])
+                      for r in st.read("metrics").collect())
+        assert rows == [(w, w * 10) for w in range(1, n_waves + 1)]
+        # segment files on disk are bounded too (history retention only)
+        segs = [d for d in os.listdir(os.path.join(st.dir, "metrics"))]
+        assert len(segs) <= 10 + st.retain
+
+    def test_compaction_keeps_rollback_consistent(self, spark, tmp_path):
+        from crawler_to_md_spark.store.warehouse import LiteralAppend
+
+        st = SnapshotStore(spark, str(tmp_path / "wh"),
+                           schemas={"metrics": METRICS_SCHEMA},
+                           compact_segments=3)
+        for w in range(1, 6):
+            st.commit({"metrics": LiteralAppend(
+                [(w, 1, w, 0, 0, 0, 0, 0)], METRICS_SCHEMA)}, batch_id=w)
+        before = st.read("metrics").count()
+        st.rollback()
+        after = st.read("metrics").count()
+        assert (before, after) == (5, 4)

@@ -144,3 +144,69 @@ class TestEngineCuckoo:
         # frontier URLs are unique (no duplicate inserts despite the
         # pre-filter swap)
         assert eng.links().select("url").distinct().count() == 494
+
+
+class TestReopenPurge:
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+        from crawler_to_md_spark.sources import corpus
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=2,
+                               seen_filter="cuckoo", bloom_shards=8,
+                               cuckoo_buckets=1 << 10),
+        )
+        eng.seed([corpus.seed_url()])
+        eng.run_to_completion()
+        return eng
+
+    def test_reopen_refetches(self, spark, eng):
+        url = "https://h0.example.com/docs/p0"
+        docs_before = eng.docs().count()
+        n = eng.reopen([url])
+        assert n == 1
+        row = eng.links().filter(F.col("url") == url).collect()[0]
+        assert not row["visited"] and row["retry_count"] == 0
+        runs = eng.run(resume=True)
+        assert runs["dequeued"] >= 1
+        # refetched: visited again, doc upserted last-write-wins (no dupes)
+        assert eng.links().filter(F.col("url") == url).collect()[0]["visited"]
+        assert eng.docs().filter(F.col("url") == url).count() == 1
+        assert eng.docs().count() == docs_before
+
+    def test_purge_removes_and_cuckoo_forgets(self, spark, eng):
+        from crawler_to_md_spark.functions import urlkit
+
+        victims = [r["url"] for r in
+                   eng.docs().filter("status='ok'").orderBy("url")
+                   .limit(5).collect()]
+        links_before = eng.total_link_count()
+        n = eng.purge(victims)
+        assert n == 5
+        assert eng.total_link_count() == links_before - 5
+        assert eng.docs().filter(F.col("url").isin(victims)).count() == 0
+        # the cuckoo filter genuinely forgot the purged hashes
+        bloom = eng._load_bloom()
+        probe = (spark.createDataFrame([(u,) for u in victims], "url string")
+                 .select(urlkit.url_hash(F.col("url")).alias("url_hash"))
+                 .withColumn("seen",
+                             bloom.might_contain_udf(spark)("url_hash")))
+        assert probe.filter(F.col("seen")).count() == 0
+
+    def test_purged_url_rediscovered_via_parent_reopen(self, spark, eng):
+        """End-to-end deletion story: purge a page, reopen its parent, and
+        the next run re-discovers AND re-crawls the purged URL through the
+        sure-new fast path (the cuckoo filter no longer claims it)."""
+        parent = "https://h0.example.com/docs/p0"
+        child = "https://h0.example.com/docs/p1"   # BFS child of p0
+        assert eng.purge([child]) == 1
+        assert eng.links().filter(F.col("url") == child).count() == 0
+        eng.reopen([parent])
+        eng.run(resume=True)
+        back = eng.links().filter(F.col("url") == child).collect()
+        assert len(back) == 1 and back[0]["visited"]
+        assert eng.docs().filter(F.col("url") == child).count() == 1
