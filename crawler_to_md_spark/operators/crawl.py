@@ -792,6 +792,49 @@ class CrawlEngine:
         return out
 
     # ------------------------------------------------------------------
+    # robots refresh (production: covers DISCOVERED hosts, not just seeds)
+    # ------------------------------------------------------------------
+
+    def refresh_robots(self, transport_factory=None,
+                       agent: str = "crawler-to-md-spark") -> int:
+        """Fetch robots.txt for every distinct FRONTIER host and install
+        the rules as the engine's robots gate (sources/robots.py).
+
+        A long domain-scoped crawl keeps discovering new hosts; the CLI's
+        ``--respect-robots`` covers seed hosts only — a deployment calls
+        this between runs (or before a resume) so newly-discovered hosts
+        get their rules too.  Freshly-fetched rules take precedence per
+        host; hosts only present in a manually-supplied table keep their
+        manual rules.  Returns the number of rules rows installed.  The
+        rules frame is persisted — the gate joins it every wave."""
+        from crawler_to_md_spark.sources.fetch import FetchPolicy
+        from crawler_to_md_spark.sources.robots import (
+            fetch_robots,
+            requests_text_transport,
+        )
+
+        hosts = self.links().select("host").distinct()
+        fetched = fetch_robots(
+            hosts,
+            FetchPolicy(timeout=self.config.timeout, proxy=self.config.proxy),
+            transport_factory or requests_text_transport,
+            agent=agent,
+        )
+        if self.robots is not None:
+            keep_old = self.robots.join(fetched.select("host"),
+                                        "host", "left_anti")
+            fetched = fetched.unionByName(keep_old.select("host", "disallow"))
+        old = self.robots
+        self.robots = fetched.persist()
+        n = self.robots.count()
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        return n
+
+    # ------------------------------------------------------------------
     # frontier lifecycle beyond the reference: TTL recrawl + removal
     # ------------------------------------------------------------------
 

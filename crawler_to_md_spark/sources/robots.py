@@ -161,7 +161,12 @@ def fetch_robots(
                     body, (bytes, bytearray)) else str(body)
                 out_host.append(str(host))
                 out_rules.append(parse_robots(text, agent))
-            yield pd.DataFrame({"host": out_host, "disallow": out_rules})
+            # explicit object dtype: an all-miss batch would otherwise
+            # produce empty float64 columns Arrow cannot cast to
+            # list<string>
+            yield pd.DataFrame(
+                {"host": pd.Series(out_host, dtype="object"),
+                 "disallow": pd.Series(out_rules, dtype="object")})
 
     return (
         hosts.select(F.col(host_col).alias(host_col))

@@ -264,3 +264,78 @@ class TestSitemap:
             "https://h0.example.com/a?x=1&y=2",
             "https://h0.example.com/docs/p0",
         ]
+
+
+class TestEngineRobotsRefresh:
+    def test_refresh_gates_rediscovery(self, spark, tmp_path):
+        """Discovered-host coverage: after a crawl, refresh_robots fetches
+        rules for EVERY frontier host; a purged URL whose path the fresh
+        rules disallow is NOT re-discovered when its parent is reopened."""
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+        from crawler_to_md_spark.sources import corpus
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=2,
+                               seen_filter="cuckoo"),
+        )
+        eng.seed([corpus.seed_url()])
+        eng.run_to_completion()
+        n_hosts = eng.links().select("host").distinct().count()
+        assert n_hosts > 1                       # discovered hosts exist
+
+        def factory():
+            def transport(url, timeout, proxy, want_body):
+                # serves rules for EVERY host (proof the refresh reached
+                # discovered hosts, not just the seed's): h0 disallows
+                # /docs/p1, everyone else allows all
+                if url.startswith("https://h0."):
+                    return 200, "text/plain", \
+                        b"User-agent: *\nDisallow: /docs/p1\n", None
+                return 200, "text/plain", b"User-agent: *\nDisallow:\n", None
+            return transport
+
+        n_rules = eng.refresh_robots(factory)
+        # one rules row per distinct frontier host — seeds AND discovered
+        assert n_rules == n_hosts
+
+        child = "https://h0.example.com/docs/p1"
+        assert eng.purge([child]) == 1
+        eng.reopen(["https://h0.example.com/docs/p0"])
+        eng.run(resume=True)
+        # the gate blocked re-discovery of the disallowed path
+        assert eng.links().filter(F.col("url") == child).count() == 0
+
+    def test_refresh_keeps_manual_rules_for_unfetched_hosts(self, spark,
+                                                            tmp_path):
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+        from crawler_to_md_spark.sources import corpus
+
+        manual = spark.createDataFrame(
+            [("manual.example.com", ["/keep/"]),
+             ("h0.example.com", ["/manual-overridden/"])],
+            "host string, disallow array<string>")
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=2),
+            robots=manual,
+        )
+        eng.seed([corpus.seed_url()])
+
+        def factory():
+            def transport(url, timeout, proxy, want_body):
+                if url.startswith("https://h0."):
+                    return 200, "text/plain", \
+                        b"User-agent: *\nDisallow: /fresh/\n", None
+                return 404, "text/plain", None, None
+            return transport
+
+        eng.refresh_robots(factory)
+        rules = {r["host"]: list(r["disallow"])
+                 for r in eng.robots.collect()}
+        assert rules["h0.example.com"] == ["/fresh/"]     # fetched wins
+        assert rules["manual.example.com"] == ["/keep/"]  # manual kept
