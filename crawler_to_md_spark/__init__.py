@@ -7,7 +7,11 @@ A from-scratch re-implementation of the capabilities of msneto/crawler-to-md
   pandas-UDF parity path), scope/include/exclude predicates
   (reference: crawler_to_md/utils.py, crawler_to_md/scraper.py:287-314)
 - a snapshot-committed frontier store with exact anti-join dedup behind a
-  partitioned bloom pre-filter (reference: database_manager.py:146-172)
+  partitioned bloom pre-filter (reference: database_manager.py:146-172) —
+  or a deletable cuckoo filter (functions/cuckoo.py) for TTL-recrawl /
+  purge lifecycles (operators/crawl.py reopen/purge)
+- robots.txt gating (sources/robots.py fetch+parse -> politeness gate) and
+  sitemap seeding (sources/sitemap.py)
 - a BFS wave scheduler with per-host politeness budgets and skew-safe
   two-phase ranking (reference: scraper.py:433-598)
 - interleaved text+media span extraction and markdown projection
