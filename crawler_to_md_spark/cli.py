@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fetch robots.txt over HTTP for every seed host "
                         "before crawling and gate the frontier on the rules "
                         "(sources/robots.py); needs network + requests")
+    p.add_argument("--seen-filter", choices=("bloom", "cuckoo"),
+                   default="bloom",
+                   help="URL-seen pre-filter backend: bloom (default) or "
+                        "cuckoo (supports deletion for TTL-recrawl/purge); "
+                        "a cache must be resumed with the backend it was "
+                        "created with")
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument("--small-export", action="store_true", default=False,
                    help="Assemble compiled exports on the driver (collect) "
@@ -189,6 +195,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         proxy=args.proxy,
         css_include=args.include,
         css_exclude=args.exclude,
+        seen_filter=args.seen_filter,
     )
     # ---- robots gate (north-rule robots.txt gating) ----------------------
     robots_df = None

@@ -172,3 +172,23 @@ def test_seed_frame_file_order(spark, tmp_path):
     p.write_text("\n".join(urls) + "\n")
     rows = seeds.seed_frame(spark, str(p)).orderBy("seed_seq").collect()
     assert [r["raw"] for r in rows] == urls
+
+
+def test_seen_filter_cuckoo_flag(spark, tmp_path, corpus_path):
+    """--seen-filter cuckoo crawls to the same end state as the default."""
+    rc, out, cache = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path, "--title", "CK",
+        "--seen-filter", "cuckoo", name="ck",
+    )
+    assert rc == 0
+    sub = os.listdir(out)[0]
+    data = json.loads(
+        open(os.path.join(out, sub, "CK.json"), encoding="utf-8").read())
+    assert data                        # ok pages exported
+    # the warehouse really used the cuckoo backend (npz shards, not npy)
+    import glob
+    wh = os.path.join(cache, os.listdir(cache)[0])
+    assert glob.glob(os.path.join(wh, "bloom", "shard-*.npz"))
+    assert not glob.glob(os.path.join(wh, "bloom", "shard-*.npy"))
