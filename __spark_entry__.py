@@ -323,6 +323,46 @@ def _q_embedding_near_dups(spark, sf_dir):
         EMB_DIM, threshold=0.9, max_hamming=8)
 
 
+def _q_quality_dedup_pipeline(spark, sf_dir):
+    """Training-data cleaning composed end-to-end: token-count quality gate
+    -> exact-dup collapse with deterministic keeper (operators/dedup.py
+    quality_dedup_pipeline).  One row per kept document."""
+    return dedup.quality_dedup_pipeline(
+        dedup.dup_corpus(_docs(spark, sf_dir)), min_tokens=40)
+
+
+def _q_cuckoo_purge_schedule(spark, sf_dir):
+    """The cuckoo seen-filter's distinguishing capability — DELETION —
+    exercised through the real scheduling path (schedule.filter_unseen,
+    the same prefilter+exact-anti-join the engine runs with
+    CrawlConfig(seen_filter='cuckoo')): even-page URLs are inserted as the
+    seen set, every fourth page is purged (the TTL-recrawl reopen,
+    CrawlEngine.purge), and the full corpus URL set is rescheduled.
+    Cuckoo false positives only route extra rows to the exact anti-join —
+    never change the result — so the admitted set is exactly
+    (all URLs) minus (seen minus purged), which DuckDB recomputes from the
+    host-id arithmetic."""
+    import tempfile as _tf
+
+    from crawler_to_md_spark.functions.cuckoo import CuckooShardStore
+    from crawler_to_md_spark.operators.schedule import filter_unseen
+
+    pages = _corpus_df(spark, sf_dir).select(
+        "page_id", "url", "host",
+        urlkit.url_hash(F.col("url")).alias("url_hash"))
+    seen = pages.filter(F.col("page_id") % 2 == 0)
+    purged = seen.filter(F.col("page_id") % 4 == 0)
+    store = CuckooShardStore.create(
+        _tf.mkdtemp(prefix="entry_cuckoo_"), num_shards=8)
+    store.add_dataframe(seen)
+    store.remove_dataframe(purged)
+    live_seen = seen.filter(F.col("page_id") % 4 != 0)
+    admitted = filter_unseen(
+        pages.drop("page_id"), live_seen.select("url_hash", "url"),
+        bloom=store)
+    return admitted.select("url")
+
+
 # -- streaming frontier (Structured Streaming, deterministic replay) --------
 
 _STREAM_RESULTS: dict[str, DataFrame] = {}
@@ -463,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_schedule": _q_stream_schedule,
         "host_windows": _q_host_windows,
         "robots_gate": _q_robots_gate,
+        "quality_dedup_pipeline": _q_quality_dedup_pipeline,
+        "cuckoo_purge_schedule": _q_cuckoo_purge_schedule,
     }
 
 
@@ -648,6 +690,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE cls <> 'missing'
               AND NOT (({corpus.HOST_ID_SQL.format(g='g')}) % 2 = 0
                        AND CAST(g AS VARCHAR) LIKE '2%')
+        """,
+        "quality_dedup_pipeline": dedup.duck_quality_dedup_sql(min_tokens=40),
+        "cuckoo_purge_schedule": f"""
+            {_meta_cte()}
+            SELECT url FROM corpus_meta
+            WHERE cls <> 'missing'
+              AND NOT (g % 2 = 0 AND g % 4 <> 0)
         """,
         "host_windows": """
             SELECT strftime(time_bucket(INTERVAL 1 minute, ts),

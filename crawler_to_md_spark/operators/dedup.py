@@ -212,6 +212,56 @@ def duck_exact_dups_sql(docs_rel: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# end-to-end training-data cleaning: quality gate -> exact dedup keeper pick
+# ---------------------------------------------------------------------------
+
+
+def quality_dedup_pipeline(
+    docs: DataFrame, text_col: str = "text", min_tokens: int = 40
+) -> DataFrame:
+    """The two front stages of an LLM-training-data pipeline composed
+    end-to-end: quality-gate documents (token-count floor over the
+    textstats features), then collapse exact duplicates to one keeper per
+    digest (min ``doc_id`` — the deterministic tie-break a reproducible
+    pipeline needs).
+
+    Scale shape: the quality gate is a narrow codegen'd filter evaluated
+    during the scan (no shuffle), so low-quality rows never reach the dedup
+    exchange; the only shuffle is the digest groupBy, keyed by md5(text) —
+    uniform by construction, no skew.  One row per kept document.
+    """
+    from crawler_to_md_spark.operators.textstats import token_count
+
+    t = F.col(text_col)
+    kept = docs.filter(token_count(t) >= min_tokens).withColumn(
+        "digest", F.md5(t)
+    )
+    return kept.groupBy("digest").agg(
+        F.min("doc_id").cast("long").alias("doc_id"),
+        F.min(token_count(t)).cast("long").alias("n_tokens"),
+    )
+
+
+def duck_quality_dedup_sql(
+    docs_rel: str = "documents", min_tokens: int = 40
+) -> str:
+    from crawler_to_md_spark.operators.textstats import DUCK_TOKEN_COUNT
+
+    ntok = DUCK_TOKEN_COUNT.format(t="text")
+    return f"""
+        WITH {DUCK_DUP_CORPUS.format(docs_rel=docs_rel)},
+        stats AS (
+            SELECT doc_id, text, {ntok} AS n_tokens FROM dup_corpus
+        )
+        SELECT md5(text) AS digest,
+               CAST(min(doc_id) AS BIGINT) AS doc_id,
+               CAST(min(n_tokens) AS BIGINT) AS n_tokens
+        FROM stats WHERE n_tokens >= {min_tokens}
+        GROUP BY md5(text)
+    """
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (exact, inverted-index — no sketching)
 # ---------------------------------------------------------------------------
 
