@@ -221,6 +221,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         engine.seed(seed_df)
         engine.run_to_completion()
     else:
+        if args.respect_robots:
+            # a resumed frontier usually holds hosts discovered after the
+            # seed-time fetch above — refresh rules for ALL frontier hosts
+            # before requeuing (CrawlEngine.refresh_robots keeps manual
+            # --robots-parquet rules for hosts the fetch doesn't cover)
+            engine.refresh_robots(agent="crawler-to-md-spark")
         engine.run(resume=True)                  # O6 requeue path
 
     # ---- exports (cli.py:262-295) ----------------------------------------

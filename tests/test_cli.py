@@ -192,3 +192,38 @@ def test_seen_filter_cuckoo_flag(spark, tmp_path, corpus_path):
     wh = os.path.join(cache, os.listdir(cache)[0])
     assert glob.glob(os.path.join(wh, "bloom", "shard-*.npz"))
     assert not glob.glob(os.path.join(wh, "bloom", "shard-*.npy"))
+
+
+def test_respect_robots_refreshes_on_resume(spark, tmp_path, corpus_path,
+                                            monkeypatch):
+    """--respect-robots fetches seed-host rules on a fresh run and calls
+    CrawlEngine.refresh_robots (all FRONTIER hosts, incl. discovered ones)
+    before a resumed run — cli.py resume branch."""
+    from pyspark.sql import functions as F
+
+    import crawler_to_md_spark.sources.robots as robots_src
+    from crawler_to_md_spark.operators import crawl as crawl_mod
+
+    def fake_fetch(hosts, policy, transport_factory=None, agent=""):
+        return hosts.select("host").distinct().withColumn(
+            "disallow", F.array().cast("array<string>"))
+
+    monkeypatch.setattr(robots_src, "fetch_robots", fake_fetch)
+
+    calls: list[str] = []
+
+    def spy_refresh(self, transport_factory=None, agent="?"):
+        calls.append(agent)
+        return 0
+
+    monkeypatch.setattr(crawl_mod.CrawlEngine, "refresh_robots", spy_refresh)
+
+    args = ("--url", corpus.seed_url(),
+            "--base-url", "https://h0.example.com/",
+            "--corpus-parquet", corpus_path, "--respect-robots")
+    rc, out, cache = _run(spark, tmp_path, *args, name="rr")
+    assert rc == 0
+    assert calls == []                       # fresh run: seed fetch only
+    rc2, _, _ = _run(spark, tmp_path, *args, name="rr")   # same cache dir
+    assert rc2 == 0
+    assert calls == ["crawler-to-md-spark"]  # resume refreshed frontier hosts
