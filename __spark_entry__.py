@@ -331,6 +331,16 @@ def _q_quality_dedup_pipeline(spark, sf_dir):
         dedup.dup_corpus(_docs(spark, sf_dir)), min_tokens=40)
 
 
+def _q_near_dup_components(spark, sf_dir):
+    """Near-dup CLUSTER collapse — pair lists alone can't drive removal
+    (A~B, B~C must keep one doc, not two): MinHash-LSH pairs -> exact
+    connected components via alternating large-star/small-star
+    (operators/dedup.py connected_components).  Oracle: recursive-CTE
+    transitive closure of the brute-force pair graph."""
+    return dedup.near_dup_components(
+        dedup.dup_corpus(_docs(spark, sf_dir)), threshold=0.5)
+
+
 def _q_cuckoo_purge_schedule(spark, sf_dir):
     """The cuckoo seen-filter's distinguishing capability — DELETION —
     exercised through the real scheduling path (schedule.filter_unseen,
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_windows": _q_host_windows,
         "robots_gate": _q_robots_gate,
         "quality_dedup_pipeline": _q_quality_dedup_pipeline,
+        "near_dup_components": _q_near_dup_components,
         "cuckoo_purge_schedule": _q_cuckoo_purge_schedule,
     }
 
@@ -692,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
                        AND CAST(g AS VARCHAR) LIKE '2%')
         """,
         "quality_dedup_pipeline": dedup.duck_quality_dedup_sql(min_tokens=40),
+        "near_dup_components": dedup.duck_near_dup_components_sql(threshold=0.5),
         "cuckoo_purge_schedule": f"""
             {_meta_cte()}
             SELECT url FROM corpus_meta

@@ -379,25 +379,172 @@ def duck_ngram_jaccard_sql(
     """
 
 
-def duck_brute_force_near_dups_sql(
-    docs_rel: str = "documents", threshold: float = 0.5, k: int = 3
-) -> str:
-    """Ground-truth near-dup pairs by exhaustive shingle Jaccard — the
-    oracle the LSH path must reproduce."""
+def _duck_pairs_ctes(docs_rel: str, threshold: float, k: int) -> str:
+    """CTE chain ``dup_corpus, sh, nd_pairs`` — ground-truth near-dup pairs
+    by exhaustive shingle Jaccard (shared by the pair oracle and the
+    connected-components oracle)."""
     toks = "string_split(trim(text), ' ')"
     shingle = (
         f"list_distinct(list_transform(range(0, greatest(len({toks}) - {k}, 0) + 1), "
         f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')))"
     )
     return f"""
-        WITH {DUCK_DUP_CORPUS.format(docs_rel=docs_rel)},
-        sh AS (SELECT doc_id, {shingle} AS s FROM dup_corpus)
-        SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
-               CAST(b.doc_id AS BIGINT) AS doc_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.s, b.s))), 6)
-              >= {threshold}
+        {DUCK_DUP_CORPUS.format(docs_rel=docs_rel)},
+        sh AS (SELECT doc_id, {shingle} AS s FROM dup_corpus),
+        nd_pairs AS (
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.s, b.s))), 6)
+                  >= {threshold}
+        )
+    """
+
+
+def duck_brute_force_near_dups_sql(
+    docs_rel: str = "documents", threshold: float = 0.5, k: int = 3
+) -> str:
+    """Ground-truth near-dup pairs by exhaustive shingle Jaccard — the
+    oracle the LSH path must reproduce."""
+    return f"""
+        WITH {_duck_pairs_ctes(docs_rel, threshold, k)}
+        SELECT doc_a, doc_b, jaccard FROM nd_pairs
+    """
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster collapse: connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node links its LARGER neighbors to the
+    minimum of its neighborhood (incl. itself)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mins = (
+        sym.groupBy("u").agg(F.min("v").alias("__mv"))
+        .select("u", F.least("__mv", F.col("u")).alias("__m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large->small; every node links
+    its smaller neighbors (and itself) to the minimum neighbor."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("__m"))
+    relink = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    )
+    self_link = mins.select("u", F.col("__m").alias("v"))
+    return (
+        relink.unionByName(self_link).filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Exact connected components over an undirected pair graph via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — O(log^2 n) rounds, every round
+    a pair of keyed aggregations, nothing driver-side).
+
+    Near-dup pair lists are the input this exists for: pair output alone
+    cannot drive removal (A~B, B~C must collapse to ONE keeper, not two).
+    Each iteration is localCheckpoint-truncated so the plan stays flat —
+    iterative self-joins otherwise double the lineage every round.
+    Convergence is detected on (count, xxhash64-sum) of the canonical edge
+    set.  Returns one row per node that appears in ``pairs``:
+    (node, component) where component = min doc_id of the cluster.
+    """
+    e = (
+        pairs.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        got = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: full-range int64 hashes overflow a long
+            # sum under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (got["n"], got["h"])
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # fixpoint edge set is a star forest: (node, root) with root < node
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = members.select(
+        F.col("component").alias("node"), F.col("component")
+    ).distinct()
+    return members.unionByName(roots)
+
+
+def near_dup_components(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs collapsed into clusters: one
+    (doc_id, component) row per document that has at least one near-dup;
+    component = min doc_id of its transitive cluster (the keeper)."""
+    pairs = minhash_near_dups(docs, text_col=text_col, threshold=threshold)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+def drop_near_dups(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """The removal pass a training-data pipeline actually runs: keep every
+    document except non-keeper cluster members (left-anti join against the
+    component table's losers)."""
+    losers = near_dup_components(docs, text_col, threshold).filter(
+        F.col("doc_id") != F.col("component")
+    )
+    return docs.join(losers.select("doc_id"), "doc_id", "left_anti")
+
+
+def duck_near_dup_components_sql(
+    docs_rel: str = "documents", threshold: float = 0.5, k: int = 3
+) -> str:
+    """Oracle: transitive closure of the brute-force pair graph by a
+    recursive CTE — component = min doc_id reachable from each node."""
+    return f"""
+        WITH RECURSIVE {_duck_pairs_ctes(docs_rel, threshold, k)},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM nd_pairs
+            UNION
+            SELECT doc_b, doc_a FROM nd_pairs
+        ),
+        reach(node, comp) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(comp) AS BIGINT) AS component
+        FROM reach GROUP BY node
     """

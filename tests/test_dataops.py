@@ -278,3 +278,46 @@ def test_embedding_near_dups_matches_duckdb(spark, emb, duck):
         similarity.dup_embedding_corpus(emb), dim=64, threshold=0.9)
     rel = duck.sql(similarity.duck_embedding_near_dups_sql(64, threshold=0.9))
     _cmp(sdf, rel, ["id_a", "id_b", "cos"])
+
+
+# ---------------------------------------------------------------------------
+# connected components / near-dup cluster collapse
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain, triangle, isolated pair — incl. a 6-hop path that forces
+    multiple large-star/small-star rounds."""
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15-16 (diameter 6)
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16),
+         # triangle 1-2-3 with redundant edges
+         (1, 2), (2, 3), (1, 3),
+         # isolated pair, reversed order on input
+         (31, 30)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = {(n, 10) for n in range(10, 17)} | {(n, 1) for n in (1, 2, 3)} | {
+        (30, 30), (31, 30)}
+    assert got == want
+
+
+def test_drop_near_dups_keeps_one_per_cluster(spark, docs):
+    """Every planted near/exact copy is removed, originals kept: keeper =
+    min doc_id per transitive cluster."""
+    corpus_df = dedup.dup_corpus(docs)
+    kept = dedup.drop_near_dups(corpus_df, threshold=0.5)
+    comp = dedup.near_dup_components(corpus_df, threshold=0.5)
+    n_total = corpus_df.count()
+    n_losers = comp.filter("doc_id <> component").count()
+    assert kept.count() == n_total - n_losers
+    # planted copies (doc_id >= 10^6) are losers: their base doc is smaller
+    assert kept.filter("doc_id >= 1000000").count() == 0
+    # each cluster's keeper survives
+    keepers = comp.select("component").distinct()
+    assert keepers.join(kept, keepers.component == kept.doc_id, "left_anti") \
+        .count() == 0
