@@ -270,11 +270,34 @@ def stage_export(spark, sf_dir) -> dict:
             "pages_per_sec": n / elapsed}
 
 
+def stage_dedup(spark, sf_dir) -> dict:
+    """Training-data cleaning throughput over the planted-duplicate corpus:
+    token-count quality gate -> exact-dedup collapse, then MinHash-LSH
+    pair discovery -> connected-component cluster collapse -> removal
+    (the full near-dedup path a 100 TB pipeline runs per shard)."""
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_df = dedup.dup_corpus(docs).persist()
+    n = corpus_df.count()
+    for _ in range(2):   # warm JIT + python workers; report second pass
+        t0 = time.time()
+        n_quality = dedup.quality_dedup_pipeline(corpus_df).count()
+        n_kept = dedup.drop_near_dups(corpus_df, threshold=0.5).count()
+        elapsed = time.time() - t0
+    corpus_df.unpersist()
+    return {"sec": elapsed, "docs": int(n), "quality_kept": int(n_quality),
+            "near_dedup_kept": int(n_kept), "docs_per_sec": n / elapsed}
+
+
 STAGES = {
     "crawl": stage_crawl,
     "schedule": stage_schedule,
     "extract": stage_extract,
     "export": stage_export,
+    "dedup": stage_dedup,
 }
 
 

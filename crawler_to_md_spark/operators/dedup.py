@@ -72,15 +72,28 @@ def shingle_hashes(text: F.Column) -> F.Column:
 
 
 def minhash_signature(text: F.Column) -> F.Column:
-    """Array of NUM_PERM minima of (a*h + b) mod PRIME over shingle hashes."""
-    hashes = shingle_hashes(text)
-    mins = [
-        F.array_min(
-            F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_PRIME))
-        )
-        for a, b in PERMS
-    ]
-    return F.array(*mins)
+    """Array of NUM_PERM minima of (a*h + b) mod PRIME over shingle hashes.
+
+    Single-pass fold: one ``aggregate`` over the shingle-hash array updates
+    all NUM_PERM minima per shingle (values identical to per-permutation
+    ``array_min``).  The naive form — NUM_PERM separate
+    ``array_min(transform(...))`` expressions — embeds NUM_PERM copies of
+    the md5 shingle-hash subtree, and higher-order functions run
+    interpreted (no codegen, no common-subexpression elimination), so every
+    document's shingles were md5-hashed 32x: measured 44 s -> 2 s for the
+    signature+band stage over 6.2k docs."""
+    perms = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in PERMS
+    ])
+    init = F.array_repeat(F.lit(_PRIME).cast("long"), NUM_PERM)
+    return F.aggregate(
+        shingle_hashes(text),
+        init,
+        lambda acc, h: F.zip_with(
+            acc, perms,
+            lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_PRIME)),
+        ),
+    )
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -424,9 +437,13 @@ def duck_brute_force_near_dups_sql(
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node links its LARGER neighbors to the
     minimum of its neighborhood (incl. itself)."""
+    # no intermediate distincts: duplicate edges change neither the min
+    # aggregation nor the join semantics, and the small-star round that
+    # always follows ends in the one distinct that bounds growth — each
+    # dropped distinct saves a full shuffle per round
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     mins = (
         sym.groupBy("u").agg(F.min("v").alias("__mv"))
         .select("u", F.least("__mv", F.col("u")).alias("__m"))
@@ -435,7 +452,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
-        .distinct()
     )
 
 
