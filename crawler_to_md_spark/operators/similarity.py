@@ -33,13 +33,18 @@ def _vec(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -50,17 +55,26 @@ def brute_force_topk(
     The query side is tiny -> broadcast; the corpus side streams through
     one codegen'd projection.  Ties broken by neighbor_id for determinism.
     """
+    # norms are per-VECTOR, so compute them on each side before the join —
+    # folding them into a per-pair cosine() would redo each norm n_queries
+    # (resp. n_corpus) times; values are identical (same expression over
+    # the same vector)
     corpus = embeddings.select(
         F.col("vec_id").cast("long").alias("neighbor_id"),
         _vec("embedding").alias("vec"),
-    )
+    ).withColumn("nrm", _norm(F.col("vec")))
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").cast("long").alias("query_id"),
         _vec("embedding").alias("qvec"),
-    )
+    ).withColumn("qnrm", _norm(F.col("qvec")))
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -122,15 +136,24 @@ def kmeans_centroids(
 
 
 def _rank_centroids(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, vec, centroid_id, cr): centroids ranked by cosine per vec."""
-    scored = vecs.join(F.broadcast(centroids)).withColumn(
-        "ccos", cosine(F.col("cvec"), F.col("vec"))
+    """(vec_id, vec, vnrm, centroid_id, cr): centroids ranked by cosine per
+    vec.  Norms are stamped per side BEFORE the cross join (a vector's norm
+    would otherwise be refolded once per centroid); the multiply order
+    matches ``cosine(cvec, vec)`` exactly, so values are bit-identical."""
+    scored = (
+        vecs.withColumn("vnrm", _norm(F.col("vec")))
+        .join(F.broadcast(centroids.withColumn("cnrm", _norm(F.col("cvec")))))
+        .withColumn(
+            "ccos",
+            _dot(F.col("cvec"), F.col("vec"))
+            / (F.col("cnrm") * F.col("vnrm")),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id")
     )
     return scored.withColumn("cr", F.row_number().over(w)).select(
-        "vec_id", "vec", "centroid_id", "cr"
+        "vec_id", "vec", "vnrm", "centroid_id", "cr"
     )
 
 
@@ -174,16 +197,21 @@ def ivf_topk(
     ranked = _rank_centroids(vecs, centroids)
     corpus = ranked.filter("cr = 1").select(
         F.col("vec_id").alias("neighbor_id"), "centroid_id",
-        F.col("vec").alias("nvec"),
+        F.col("vec").alias("nvec"), F.col("vnrm").alias("nnrm"),
     )
     queries = ranked.filter(
         (F.col("cr") <= n_probe) & (F.col("vec_id") < n_queries)
     ).select(F.col("vec_id").alias("query_id"), "centroid_id",
-             F.col("vec").alias("qvec"))
+             F.col("vec").alias("qvec"), F.col("vnrm").alias("qnrm"))
     scored = (
         corpus.join(F.broadcast(queries), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnrm") * F.col("nnrm")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -368,13 +396,20 @@ def embedding_near_dups(
     vecs = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _vec("embedding").alias("vec"),
-    )
+    ).withColumn("nrm", _norm(F.col("vec")))   # per vector, not per pair
     pairs = (
         cand.join(vecs.select(F.col("vec_id").alias("id_a"),
-                              F.col("vec").alias("vec_a")), "id_a")
+                              F.col("vec").alias("vec_a"),
+                              F.col("nrm").alias("nrm_a")), "id_a")
         .join(vecs.select(F.col("vec_id").alias("id_b"),
-                          F.col("vec").alias("vec_b")), "id_b")
-        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+                          F.col("vec").alias("vec_b"),
+                          F.col("nrm").alias("nrm_b")), "id_b")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")), 6),
+        )
     )
     return (
         pairs.filter(F.col("cos") >= threshold)
@@ -390,12 +425,19 @@ def brute_force_near_dups(
     vecs = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _vec("embedding").alias("vec"),
-    )
-    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    ).withColumn("nrm", _norm(F.col("vec")))   # per vector, not per pair
+    a = vecs.select(F.col("vec_id").alias("id_a"),
+                    F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
+    b = vecs.select(F.col("vec_id").alias("id_b"),
+                    F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
