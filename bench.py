@@ -524,6 +524,7 @@ def main() -> None:
             "schedule_urls_per_sec": detail["q_schedule"]["urls_per_sec"],
             "crawl_urls_per_sec": detail["q_crawl"]["urls_per_sec"],
             "extract_pages_per_sec": detail["q_extract"]["pages_per_sec"],
+            "dedup_docs_per_sec": detail["q_dedup"]["docs_per_sec"],
         },
         "detail": detail,
     }

@@ -19,8 +19,11 @@ A from-scratch re-implementation of the capabilities of msneto/crawler-to-md
 - compiled markdown / JSON / per-page exports incl. the minifier state
   machine (reference: export_manager.py)
 - training-data pipeline operators: dedup (exact / minhash-LSH / simhash /
-  n-gram jaccard / embedding-cosine), ANN similarity search, text quality
-  stats, multimodal column plumbing.
+  n-gram jaccard / embedding-cosine), near-dup cluster collapse via
+  large-star/small-star connected components with keeper selection
+  (operators/dedup.py drop_near_dups), a composed quality-gate -> dedup
+  cleaning pipeline, ANN similarity search, text quality stats, multimodal
+  column plumbing.
 
 Everything is DataFrame-first: native pyspark.sql.functions wherever the
 semantics allow, vectorized pandas/Arrow UDFs only for urllib-exact URL
