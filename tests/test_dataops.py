@@ -321,3 +321,42 @@ def test_drop_near_dups_keeps_one_per_cluster(spark, docs):
     keepers = comp.select("component").distinct()
     assert keepers.join(kept, keepers.component == kept.doc_id, "left_anti") \
         .count() == 0
+
+
+def test_connected_components_random_graphs(spark):
+    """Property check vs a pure-Python union-find over deterministic
+    pseudo-random graphs of varying shapes (sparse, dense, long paths)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 20, 8), (2, 30, 30), (3, 12, 66),
+                                   (4, 40, 20), (5, 25, 12)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        want = {}
+        for x in nodes:
+            root = find(x)
+            want.setdefault(root, set()).add(x)
+        expected = {(x, min(members))
+                    for members in want.values() for x in members}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {(r["node"], r["component"])
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == expected, f"seed={seed}"
