@@ -71,29 +71,55 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 def lang_guess(text: Column) -> Column:
     """Argmax stopword-hit language guess (n-gram-free heuristic; ties ->
-    first language in sorted order)."""
-    guess = None
-    best = None
-    for lang in sorted(STOPWORDS):
-        hits = stopword_hits(text, STOPWORDS[lang])
-        if guess is None:
-            guess, best = F.lit(lang), hits
-        else:
-            guess = F.when(hits > best, F.lit(lang)).otherwise(guess)
-            best = F.when(hits > best, hits).otherwise(best)
-    return guess
+    first language in sorted order).
+
+    Single ``array_max`` over (hits, reverse-rank) structs rather than
+    chained ``when(hits > best, ...)`` folds: the chain embeds each
+    language's stopword-filter subtree in BOTH the running guess and the
+    running best, doubling the tree per language — with interpreted
+    higher-order functions (no CSE) the last language's document filter
+    re-executed ~2^(N-1) times per row.  Here each language's hit count is
+    evaluated exactly once.  Struct comparison orders by hits first, then
+    reverse rank, so equal hit counts pick the highest reverse rank = the
+    lexicographically FIRST language — the same tie-break as the strict
+    ``>`` chain."""
+    langs = sorted(STOPWORDS)
+    entries = [
+        F.struct(
+            stopword_hits(text, STOPWORDS[lang]).alias("hits"),
+            F.lit(len(langs) - 1 - i).alias("rev_rank"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    names_by_rev_rank = F.array(*[F.lit(lang) for lang in reversed(langs)])
+    return F.element_at(names_by_rev_rank, best["rev_rank"] + 1)
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles, each rendered as a space-joined string."""
+    """Distinct k-word shingles, each rendered as a space-joined string.
+
+    Built by zipping the token array with its k-1 shifted suffixes rather
+    than ``transform(sequence(...), i -> slice(toks, i+1, k))``: higher-order
+    functions run interpreted (no codegen, no common-subexpression
+    elimination), so a free ``split`` subtree inside the lambda re-tokenizes
+    the document once PER SHINGLE INDEX — O(T^2) characters scanned per doc.
+    Here every ``split`` sits in argument position (evaluated once per row,
+    k+1 times total) and the lambdas touch only their element variables:
+    O(T*k).  Measured on 2k docs x 1000 tokens: 9.5 s -> 0.55 s, identical
+    arrays (``zip_with`` pads the shorter side with null and ``concat_ws``
+    skips nulls, so the trailing partial windows reproduce the reference
+    ``slice`` behavior for T < k before the length cut removes the rest)."""
     toks = tokens(text)
-    n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        )
-    )
+    n = F.size(tokens(text))
+    shifts = [
+        F.slice(toks, i + 2, F.greatest(n - (i + 1), F.lit(1)))
+        for i in range(k - 1)
+    ]
+    z = F.zip_with(tokens(text), shifts[0], lambda x, y: F.concat_ws(" ", x, y))
+    for s in shifts[1:]:
+        z = F.zip_with(z, s, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(F.slice(z, 1, F.greatest(n - k + 1, F.lit(1))))
 
 
 def fingerprint(text: Column, k: int = 3, keep: int = 4) -> Column:
