@@ -89,8 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(host string, disallow array<string>) to gate the "
                         "frontier on (politeness.robots_filter)")
     p.add_argument("--respect-robots", action="store_true", default=False,
-                   help="Fetch robots.txt over HTTP for every seed host "
-                        "before crawling and gate the frontier on the rules "
+                   help="Fetch robots.txt over HTTP for every crawled host "
+                        "— seed hosts at run start, newly-discovered hosts "
+                        "after each wave — and gate the frontier on the "
+                        "rules at both discovery and dequeue "
                         "(sources/robots.py); needs network + requests")
     p.add_argument("--seen-filter", choices=("bloom", "cuckoo"),
                    default="bloom",
@@ -199,23 +201,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     # ---- robots gate (north-rule robots.txt gating) ----------------------
     robots_df = None
+    robots_factory = None
     if args.robots_parquet:
         robots_df = spark.read.parquet(args.robots_parquet)
-    elif args.respect_robots:
-        from crawler_to_md_spark.sources.fetch import FetchPolicy
-        from crawler_to_md_spark.sources.robots import fetch_robots
+    if args.respect_robots:
+        # per-wave auto-robots: the engine fetches rules for seed hosts at
+        # run start and for each wave's newly-discovered hosts before the
+        # next wave dequeues them; a manual --robots-parquet table is
+        # honored as pre-covered hosts (fresh rules only for the rest)
+        from crawler_to_md_spark.sources.robots import requests_text_transport
 
-        hosts = seed_df.select(
-            _.url_host(_.canonicalize_udf(F.col("raw"))).alias("host"))
-        robots_df = fetch_robots(
-            hosts, FetchPolicy(timeout=args.timeout, proxy=args.proxy),
-            agent="crawler-to-md-spark",
-        ).persist()
-        robots_df.count()   # materialize: the gate joins this every wave —
-        #                     without persist each wave would re-fetch HTTP
+        robots_factory = requests_text_transport
 
     engine = CrawlEngine(spark, warehouse, corpus=corpus_df, config=config,
-                         robots=robots_df)
+                         robots=robots_df,
+                         robots_transport_factory=robots_factory,
+                         robots_agent="crawler-to-md-spark")
     resume = engine.store.exists()
     if not resume:
         engine.seed(seed_df)
@@ -223,9 +224,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     else:
         if args.respect_robots:
             # a resumed frontier usually holds hosts discovered after the
-            # seed-time fetch above — refresh rules for ALL frontier hosts
-            # before requeuing (CrawlEngine.refresh_robots keeps manual
-            # --robots-parquet rules for hosts the fetch doesn't cover)
+            # last run's rules fetches — refresh rules for ALL frontier
+            # hosts before requeuing (CrawlEngine.refresh_robots keeps
+            # manual --robots-parquet rules for hosts the fetch misses)
             engine.refresh_robots(agent="crawler-to-md-spark")
         engine.run(resume=True)                  # O6 requeue path
 

@@ -180,16 +180,32 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         pacer: Pacer | None = None,
         fetch_stage=None,
+        robots_transport_factory=None,
+        robots_agent: str = "crawler-to-md-spark",
     ):
         """``fetch_stage`` is the pluggable fetch->parse->extract step
         (operators/fetchstage.py): default = equi-join against ``corpus``
         (sandbox simulation); pass ``http_extract_stage(...)`` (or inject a
         test transport via ``http_stage_from_config``) for a live crawl —
         that path runs the fused extraction UDF with the config's
-        ``css_include``/``css_exclude`` filters bound (P6/P7)."""
+        ``css_include``/``css_exclude`` filters bound (P6/P7).
+
+        ``robots_transport_factory`` (optional) turns on PER-WAVE robots
+        coverage: at run start the engine fetches robots.txt for every
+        frontier host it hasn't covered yet, and after each wave for the
+        hosts that wave's inserted links introduced — so a fresh
+        domain-scoped crawl never fetches a page from a host whose rules
+        were never read.  Without it, robots gating uses only the static
+        ``robots`` table (and ``refresh_robots`` between runs)."""
         self.spark = spark
         self.config = config or CrawlConfig()
         self._fetch_stage = fetch_stage
+        self._robots_transport_factory = robots_transport_factory
+        self._robots_agent = robots_agent
+        # hosts whose robots.txt has been fetched (or supplied manually) —
+        # driver-side set, O(distinct hosts), the same order as the rules
+        # table the gate broadcasts.  None = not yet derived from `robots`.
+        self._robots_hosts: set | None = None
         # strategy-selected store: parquet snapshots in the sandbox, Iceberg
         # when a catalog is configured (store/iceberg.py; set
         # CMS_STORE_BACKEND=iceberg to require it)
@@ -372,9 +388,14 @@ class CrawlEngine:
             B = int(entry["n_buckets"])
         bucket_of = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
         links_all = self.store.read("links")
-        pending = links_all.filter(~F.col("visited")).withColumn(
-            "priority", F.col("depth")
-        )
+        pending = links_all.filter(~F.col("visited"))
+        if self.robots is not None:
+            # dequeue-time robots gate: URLs inserted BEFORE their host's
+            # rules arrived (same-wave discovery precedes the per-wave
+            # robots fetch) are blocked here instead — never fetched, left
+            # unvisited.  Broadcast join, no shuffle (politeness.py).
+            pending = robots_filter(pending, self.robots)
+        pending = pending.withColumn("priority", F.col("depth"))
 
         if cfg.host_budget is not None:
             batch = politeness_cap(pending, cfg.host_budget, cfg.salt_shards)
@@ -514,6 +535,10 @@ class CrawlEngine:
                 F.count(F.lit(1)).alias("discovered"),
                 F.sum(unseen.cast("long")).alias("inserted"),
                 F.collect_set(F.when(unseen, bucket_of)).alias("dirty_buckets"),
+                # hosts this wave's inserts introduce — rides the same
+                # observed checkpoint; bounded by the wave's distinct new
+                # hosts (collect_set drops the nulls of seen candidates)
+                F.collect_set(F.when(unseen, F.col("host"))).alias("new_hosts"),
             ]
             dobs = Observation(f"wave-{wave_id}-discover")
             flagged = flagged.observe(dobs, *d_aggs).localCheckpoint(eager=True)
@@ -524,6 +549,12 @@ class CrawlEngine:
             discovered = int(dstats["discovered"] or 0)
             inserted = int(dstats["inserted"] or 0)
             dirty_set |= set(dstats["dirty_buckets"] or [])
+            if inserted and self._robots_transport_factory is not None:
+                # per-wave auto-robots: cover the hosts these inserts
+                # introduced before the next wave dequeues them.  Their
+                # URLs are already in the frontier; disallowed ones are
+                # blocked by the dequeue-time gate above.
+                self._fetch_robots_for_hosts(dstats["new_hosts"] or [])
             pt.mark("seq")
             if inserted:
                 new_links = with_ordered_seq(
@@ -755,9 +786,19 @@ class CrawlEngine:
         # pending is tracked arithmetically across waves (pending' =
         # pending - dequeued + inserted) — exact even under politeness /
         # global caps, and saves one Spark job per wave
-        pending = (
-            self.store.read("links").filter(~F.col("visited")).count()
-        )
+        pending_df = self.store.read("links").filter(~F.col("visited"))
+        if self._robots_transport_factory is not None:
+            # run-start auto-robots: cover seed hosts (fresh run) and any
+            # host discovered after the last rules fetch (resume) — one
+            # agg job carrying the pending count AND the host set
+            row = pending_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set("host").alias("hosts"),
+            ).collect()[0]
+            pending = int(row["n"])
+            self._fetch_robots_for_hosts(row["hosts"] or [])
+        else:
+            pending = pending_df.count()
         from crawler_to_md_spark.progress import get_logger, wave_progress
 
         log = get_logger()
@@ -794,6 +835,50 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     # robots refresh (production: covers DISCOVERED hosts, not just seeds)
     # ------------------------------------------------------------------
+
+    def _robots_known_hosts(self) -> set:
+        """Hosts already covered by the rules gate (fetched or manual)."""
+        if self._robots_hosts is None:
+            self._robots_hosts = (
+                set()
+                if self.robots is None
+                else {
+                    r["host"]
+                    for r in self.robots.select("host").distinct().collect()
+                }
+            )
+        return self._robots_hosts
+
+    def _fetch_robots_for_hosts(self, hosts) -> int:
+        """Per-wave auto-robots: fetch + install rules for the hosts in
+        ``hosts`` not yet covered.  Hosts with no reachable robots.txt get
+        no rules row (= fully allowed) but are still marked covered so they
+        are fetched at most once per engine.  The growing rules frame is
+        localCheckpoint-ed: the gate joins it every wave, and a persisted
+        union-of-mapInPandas lineage would re-issue the HTTP fetches on any
+        recompute.  Returns the number of NEW hosts fetched."""
+        if self._robots_transport_factory is None:
+            return 0
+        new = sorted(set(h for h in hosts if h) - self._robots_known_hosts())
+        if not new:
+            return 0
+        from crawler_to_md_spark.sources.fetch import FetchPolicy
+        from crawler_to_md_spark.sources.robots import fetch_robots
+
+        frame = self.spark.createDataFrame([(h,) for h in new], "host string")
+        fetched = fetch_robots(
+            frame,
+            FetchPolicy(timeout=self.config.timeout, proxy=self.config.proxy),
+            self._robots_transport_factory,
+            agent=self._robots_agent,
+        )
+        if self.robots is not None:
+            fetched = self.robots.select("host", "disallow").unionByName(
+                fetched.select("host", "disallow")
+            )
+        self.robots = fetched.localCheckpoint(eager=True)
+        self._robots_hosts = self._robots_known_hosts() | set(new)
+        return len(new)
 
     def refresh_robots(self, transport_factory=None,
                        agent: str = "crawler-to-md-spark") -> int:
@@ -832,6 +917,11 @@ class CrawlEngine:
                 old.unpersist()
             except Exception:
                 pass
+        # every frontier host is now covered — record it so the per-wave
+        # auto gate doesn't re-fetch any of them
+        self._robots_hosts = self._robots_known_hosts() | {
+            r["host"] for r in hosts.collect()
+        }
         return n
 
     # ------------------------------------------------------------------

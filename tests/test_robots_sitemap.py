@@ -339,3 +339,93 @@ class TestEngineRobotsRefresh:
                  for r in eng.robots.collect()}
         assert rules["h0.example.com"] == ["/fresh/"]     # fetched wins
         assert rules["manual.example.com"] == ["/keep/"]  # manual kept
+
+
+class TestPerWaveAutoRobots:
+    """CrawlEngine(robots_transport_factory=...): rules are fetched at run
+    start (seed hosts) and after each wave (that wave's newly-inserted
+    hosts), and the frontier is gated at BOTH discovery and dequeue."""
+
+    def test_fresh_run_covers_discovered_hosts(self, spark, tmp_path):
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+        from crawler_to_md_spark.sources import corpus
+
+        # h1 (a host only reachable via discovery, never seeded) disallows
+        # everything; every other host has no reachable robots.txt = allowed
+        bodies = {"https://h1.example.com/robots.txt":
+                  (200, b"User-agent: *\nDisallow: /\n")}
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=2),
+            robots_transport_factory=_fake_transport_factory(bodies),
+        )
+        eng.seed([corpus.seed_url()])
+        eng.run_to_completion()
+
+        links = eng.links()
+        h1 = links.filter(F.col("host") == "h1.example.com").collect()
+        # the wave that discovered h1 inserted its URLs BEFORE the rules
+        # arrived — they are in the frontier but the dequeue gate kept
+        # every one of them unfetched
+        assert len(h1) > 0
+        assert not any(r["visited"] for r in h1)
+        docs = eng.docs()
+        assert docs.filter(
+            F.col("url").startswith("https://h1.")).count() == 0
+        # an allowed discovered host crawled normally
+        assert docs.filter(
+            F.col("url").startswith("https://h2.")).count() > 0
+        # rules table holds exactly the one blocking row (404/unreachable
+        # hosts produce no row = allowed) ...
+        rules = {r["host"]: list(r["disallow"]) for r in eng.robots.collect()}
+        assert rules == {"h1.example.com": ["/"]}
+        # ... and every frontier host was covered (fetched at most once)
+        frontier_hosts = {
+            r["host"] for r in links.select("host").distinct().collect()}
+        assert eng._robots_known_hosts() >= frontier_hosts
+
+    def test_dequeue_gate_blocks_pre_rules_inserts(self, spark, tmp_path):
+        """A manual rules table gates URLs ALREADY IN the frontier: a
+        disallowed seed is never fetched (dequeue-time gate, not just the
+        discovery-time candidate filter)."""
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+        from crawler_to_md_spark.sources import corpus
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=2),
+        )
+        # seed while no rules exist (seed-time validation also gates on
+        # robots, so a pre-installed table would reject the seed outright)
+        assert eng.seed([corpus.seed_url()]) == 1
+        eng.robots = spark.createDataFrame(
+            [("h0.example.com", ["/docs/p0"])],
+            "host string, disallow array<string>")
+        out = eng.run()
+        assert out["dequeued"] == 0
+        assert eng.docs().count() == 0
+        assert eng.links().filter(F.col("visited")).count() == 0
+
+    def test_fetch_for_hosts_is_incremental(self, spark, tmp_path):
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+
+        bodies = {"https://a.example.com/robots.txt":
+                  (200, b"User-agent: *\nDisallow: /x/\n")}
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            config=CrawlConfig(discover_links=False),
+            robots_transport_factory=_fake_transport_factory(bodies),
+        )
+        assert eng._fetch_robots_for_hosts(
+            {"a.example.com", "b.example.com"}) == 2
+        # both hosts covered now — even b, whose robots.txt was unreachable
+        assert eng._fetch_robots_for_hosts(
+            {"a.example.com", "b.example.com"}) == 0
+        assert eng._fetch_robots_for_hosts(
+            {"b.example.com", "c.example.com", None, ""}) == 1
+        rules = {r["host"]: list(r["disallow"]) for r in eng.robots.collect()}
+        assert rules == {"a.example.com": ["/x/"]}
