@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.markdown import spans_to_markdown_expr
-from crawler_to_md_spark.operators import dedup, multimodal, similarity, textstats
+from crawler_to_md_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    textstats,
+)
 from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
 from crawler_to_md_spark.sources import corpus
 
@@ -484,6 +490,44 @@ def _q_robots_gate(spark, sf_dir):
     return robots_filter(pages, rules).select("url")
 
 
+def _q_priority_schedule(spark, sf_dir):
+    """North-rule priority queue: window-ranked micro-batch dequeue.  A
+    synthetic frontier (priority = page_id mod 3, depth = page_id mod 5)
+    goes through the engine's actual wave-batch operators — the two-phase
+    SALTED per-host window (politeness.politeness_cap, budget 3 over 4 salt
+    shards) then the global TakeOrderedAndProject cap (global_cap, 50) —
+    and must equal DuckDB's UNsalted plain ROW_NUMBER top-3-per-host +
+    ORDER BY (priority, depth, url) LIMIT 50: the oracle certifies the
+    skew-bounded two-phase form is EXACTLY the textbook priority queue."""
+    from crawler_to_md_spark.operators.politeness import (
+        global_cap,
+        politeness_cap,
+    )
+
+    frontier = _corpus_df(spark, sf_dir).select(
+        "url", "host",
+        F.xxhash64("url").alias("url_hash"),
+        (F.col("page_id") % 3).cast("long").alias("priority"),
+        (F.col("page_id") % 5).cast("long").alias("depth"),
+    )
+    batch = global_cap(politeness_cap(frontier, 3, salt_shards=4), 50)
+    return batch.select("url", "host", "priority", "depth")
+
+
+def _q_pack_shards(spark, sf_dir):
+    """Token-budget sequence packing (operators/packing.py): documents in
+    doc_id order are concatenated into a continuous token stream cut at
+    2048-token boundaries; each doc is assigned the shard its first token
+    lands in.  The Spark side deliberately takes the SCALE path — the
+    two-phase distributed prefix sum (range repartition + per-partition
+    running sum + broadcast offsets), never a single-task global window —
+    and the oracle certifies it equals DuckDB's plain window cumsum."""
+    from crawler_to_md_spark.operators.packing import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_shards(docs, budget=2048)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_class_histogram": _q_corpus_class_histogram,
@@ -513,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_schedule": _q_stream_schedule,
         "host_windows": _q_host_windows,
         "robots_gate": _q_robots_gate,
+        "priority_schedule": _q_priority_schedule,
+        "pack_shards": _q_pack_shards,
         "quality_dedup_pipeline": _q_quality_dedup_pipeline,
         "near_dup_components": _q_near_dup_components,
         "cuckoo_purge_schedule": _q_cuckoo_purge_schedule,
@@ -709,6 +755,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url FROM corpus_meta
             WHERE cls <> 'missing'
               AND NOT (g % 2 = 0 AND g % 4 <> 0)
+        """,
+        "pack_shards": packing.duck_pack_shards_sql(budget=2048),
+        "priority_schedule": f"""
+            {_meta_cte()},
+            frontier AS (
+                SELECT url, host,
+                       CAST(g % 3 AS BIGINT) AS priority,
+                       CAST(g % 5 AS BIGINT) AS depth
+                FROM corpus_meta WHERE cls <> 'missing'
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY host ORDER BY priority, depth, url) AS rn
+                FROM frontier
+            )
+            SELECT url, host, priority, depth FROM ranked
+            WHERE rn <= 3
+            ORDER BY priority, depth, url
+            LIMIT 50
         """,
         "host_windows": """
             SELECT strftime(time_bucket(INTERVAL 1 minute, ts),

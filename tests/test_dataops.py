@@ -360,3 +360,54 @@ def test_connected_components_random_graphs(spark):
         got = {(r["node"], r["component"])
                for r in dedup.connected_components(pairs).collect()}
         assert got == expected, f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_shards_two_phase_equals_single_window(spark):
+    """The distributed two-phase prefix sum must equal the single-task
+    window regardless of where range sampling puts partition boundaries."""
+    from crawler_to_md_spark.operators.packing import pack_shards
+
+    rows = [(i, " ".join(["w"] * ((i * 37) % 90 + 1))) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    small = {tuple(r) for r in
+             pack_shards(docs, 128, approx_rows=400).collect()}
+    for n_parts in (1, 3, 7):
+        big = pack_shards(
+            docs.repartition(n_parts), 128, approx_rows=None).collect()
+        assert {tuple(r) for r in big} == small
+
+
+def test_pack_shards_invariants(spark):
+    """Stream semantics: offsets advance by exactly n_tokens across the
+    doc_id order, every offset is inside its shard, shard ids are
+    non-decreasing and start at 0."""
+    from crawler_to_md_spark.operators.packing import pack_shards
+
+    rows = [(i, " ".join(["tok"] * ((i * 13) % 41 + 1))) for i in range(257)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 100
+    got = sorted(pack_shards(docs, budget).collect(),
+                 key=lambda r: r["doc_id"])
+    stream_pos = 0
+    prev_shard = 0
+    for r in got:
+        assert r["shard_id"] == stream_pos // budget
+        assert r["shard_offset"] == stream_pos % budget
+        assert 0 <= r["shard_offset"] < budget
+        assert r["shard_id"] >= prev_shard
+        prev_shard = r["shard_id"]
+        stream_pos += r["n_tokens"]
+    assert prev_shard > 0                      # multiple shards exercised
+
+
+def test_pack_shards_rejects_bad_budget(spark):
+    from crawler_to_md_spark.operators.packing import pack_shards
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_shards(docs, 0)
