@@ -201,6 +201,13 @@ def _plan_barrier(df):
     )
 
 
+# public name: other operators stage expensive projections behind the same
+# barrier (CollapseProject would otherwise inline the staged alias back
+# into every downstream use — similarity.simhash_sketch re-cast its vector
+# 32x that way)
+plan_barrier = _plan_barrier
+
+
 def with_canonical_url(df, src_col: str, out_col: str = "url"):
     """DataFrame-level canonicalization with manual common-subexpression
     elimination.
