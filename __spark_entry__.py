@@ -514,6 +514,24 @@ def _q_priority_schedule(spark, sf_dir):
     return batch.select("url", "host", "priority", "depth")
 
 
+def _q_crawl_training_shards(spark, sf_dir):
+    """End-to-end training-data pipeline FROM THE CRAWL: successfully
+    fetched pages -> span->markdown serialization (the interleaved
+    text+media document) -> token-count quality gate (>= 10) ->
+    token-budget shard packing (512-token shards in url order, scale-path
+    two-phase prefix sum).  Composes the crawl engine, the span
+    serializer, textstats, and operators/packing.py in one oracle-gated
+    statement — the engine's whole reason to exist, crawl to shards."""
+    from crawler_to_md_spark.operators.packing import pack_shards
+    from crawler_to_md_spark.operators.textstats import token_count
+
+    docs = _engine(spark, sf_dir).docs().filter("status = 'ok'")
+    md = docs.select(
+        "url", F.expr(spans_to_markdown_expr("spans")).alias("md"))
+    gated = md.filter(token_count(F.col("md")) >= 10)
+    return pack_shards(gated, budget=512, text_col="md", order_cols=["url"])
+
+
 def _q_pack_shards(spark, sf_dir):
     """Token-budget sequence packing (operators/packing.py): documents in
     doc_id order are concatenated into a continuous token stream cut at
@@ -559,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "priority_schedule": _q_priority_schedule,
         "pack_shards": _q_pack_shards,
+        "crawl_training_shards": _q_crawl_training_shards,
         "quality_dedup_pipeline": _q_quality_dedup_pipeline,
         "near_dup_components": _q_near_dup_components,
         "cuckoo_purge_schedule": _q_cuckoo_purge_schedule,
@@ -757,6 +776,32 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (g % 2 = 0 AND g % 4 <> 0)
         """,
         "pack_shards": packing.duck_pack_shards_sql(budget=2048),
+        "crawl_training_shards": f"""
+            {_reach_cte()},
+            crawled AS (
+                SELECT m.url AS url, {markdown} AS md
+                FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+                WHERE m.cls IN ('ok', 'transient')
+            ),
+            gated AS (
+                SELECT url,
+                       CAST(len(string_split(trim(md), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM crawled
+                WHERE CAST(len(string_split(trim(md), ' ')) AS BIGINT) >= 10
+            ),
+            summed AS (
+                SELECT *, SUM(n_tokens) OVER (
+                    ORDER BY url
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens AS start_tok
+                FROM gated
+            )
+            SELECT url, n_tokens,
+                   CAST(floor(start_tok / 512) AS BIGINT) AS shard_id,
+                   CAST(start_tok % 512 AS BIGINT) AS shard_offset
+            FROM summed
+        """,
         "priority_schedule": f"""
             {_meta_cte()},
             frontier AS (
