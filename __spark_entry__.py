@@ -312,6 +312,23 @@ def _q_media_features(spark, sf_dir):
         "doc_id", "media_type", "n_bytes", "width", "height")
 
 
+def _q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling through the VARIABLE-fan-out mapInPandas
+    plumbing (one video row -> 0..k frame rows; stub codec, arithmetic
+    luma — operators/multimodal.py).  The frame count and luma are pure
+    functions of octet_length, so the fan-out shape is exactly
+    oracle-checkable (multimodal.duck_video_frames_sql)."""
+    m = multimodal.media_table(_docs(spark, sf_dir))
+    return multimodal.sample_video_frames(m, every_n=3)
+
+
+def _q_media_resize(spark, sf_dir):
+    """Stub image resize through mapInPandas (1 row -> 1 row; target dims
+    + area-scaled byte count, arithmetic over octet_length)."""
+    m = multimodal.media_table(_docs(spark, sf_dir))
+    return multimodal.resize_media(m, target_w=224, target_h=224)
+
+
 def _q_ngram_jaccard_dups(spark, sf_dir):
     """Exact character-5-gram Jaccard dedup (inverted index, no sketch).
     max_df=None -> exactly the brute-force oracle; production sets max_df
@@ -570,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "video_frame_sample": _q_video_frame_sample,
+        "media_resize": _q_media_resize,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "stream_schedule": _q_stream_schedule,
@@ -745,6 +764,8 @@ def oracle_sql() -> dict[str, str]:
             EMB_DIM, max_hamming=8),
         "media_stats": multimodal.duck_media_stats_sql(),
         "media_features": multimodal.duck_media_features_sql(),
+        "video_frame_sample": multimodal.duck_video_frames_sql(every_n=3),
+        "media_resize": multimodal.duck_resized_media_sql(224, 224),
         "ngram_jaccard_dups": dedup.duck_ngram_jaccard_sql(threshold=0.5),
         "embedding_near_dups": similarity.duck_embedding_near_dups_sql(
             EMB_DIM, threshold=0.9),

@@ -156,3 +156,146 @@ def duck_media_stats_sql(docs_rel: str = "documents") -> str:
         FROM {docs_rel}
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# resize + video frame sampling (same stub-codec / real-plumbing contract)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 32          # stub "frame" granularity: 1 frame per 32 bytes
+
+
+def resize_image(payload: bytes, target_w: int, target_h: int,
+                 real: bool = False) -> tuple[int, int, int]:
+    """STUB resize: real path raises (codec library absent); the fake
+    scales the stub-decoded byte count by the area ratio — deterministic,
+    arithmetic-only, same (w, h, n_bytes) contract a real resizer has."""
+    if real:
+        raise NotImplementedError(
+            "image resizing requires a codec library (e.g. Pillow) not "
+            "available in this environment; wire it in here"
+        )
+    w, h, _ = decode_image(payload)
+    n = len(payload)
+    scaled = (n * target_w * target_h) // (w * h)
+    return target_w, target_h, scaled
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """mapInPandas resize over image rows only — one resize per row, Arrow
+    batches through; fixed fan-in/fan-out (1 row -> 1 row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sub = pdf[pdf["media_type"] == "image"]
+            out_w, out_h, out_n = [], [], []
+            for payload in sub["payload"]:
+                w, h, n = resize_image(
+                    b"" if payload is None else bytes(payload),
+                    target_w, target_h)
+                out_w.append(w)
+                out_h.append(h)
+                out_n.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(sub["doc_id"], dtype="int64"),
+                    "width": pd.Series(out_w, dtype="int32", index=sub.index),
+                    "height": pd.Series(out_h, dtype="int32", index=sub.index),
+                    "n_bytes": pd.Series(out_n, dtype="int64", index=sub.index),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="doc_id long, width int, height int, n_bytes long")
+
+
+def sample_frames(payload: bytes, every_n: int,
+                  real: bool = False) -> list[tuple[int, float]]:
+    """STUB frame sampler: real path raises (no video codec); the fake
+    treats every FRAME_BYTES bytes as one frame and emits every
+    ``every_n``-th frame index with an arithmetic luma stand-in — the
+    (frame_idx, luma) contract of a real sampler."""
+    if real:
+        raise NotImplementedError(
+            "video decoding requires a codec library (e.g. PyAV) not "
+            "available in this environment; wire it in here"
+        )
+    n = len(payload)
+    n_frames = n // FRAME_BYTES
+    return [
+        (i, ((n + i * FRAME_BYTES) % 256) / 255.0)
+        for i in range(0, n_frames, every_n)
+    ]
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 3) -> DataFrame:
+    """mapInPandas frame sampling over video rows: VARIABLE fan-out (one
+    input row -> 0..k frame rows), the Arrow batch shape a real
+    frame-sample stage has.  Output dtypes are pinned explicitly so an
+    all-miss batch still produces Arrow-castable empty columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lumas: list[float] = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "video":
+                    continue
+                for i, luma in sample_frames(
+                    b"" if payload is None else bytes(payload), every_n
+                ):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    lumas.append(luma)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="doc_id long, frame_idx long, luma double")
+
+
+def duck_video_frames_sql(every_n: int = 3,
+                          docs_rel: str = "documents") -> str:
+    """Oracle for the stub sampler: frame count and luma are pure
+    arithmetic over octet_length, so the variable-fan-out mapInPandas
+    plumbing is exactly checkable."""
+    n = "octet_length(encode(text))"
+    return f"""
+        WITH vids AS (
+            SELECT doc_id, {n} AS n FROM {docs_rel} WHERE doc_id % 3 = 2
+        ),
+        frames AS (
+            SELECT doc_id, n,
+                   unnest(range(0, greatest(n // {FRAME_BYTES}, 0),
+                                {every_n})) AS frame_idx
+            FROM vids
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST((n + frame_idx * {FRAME_BYTES}) % 256 AS DOUBLE) / 255.0
+                   AS luma
+        FROM frames
+    """
+
+
+def duck_resized_media_sql(target_w: int, target_h: int,
+                           docs_rel: str = "documents") -> str:
+    """Oracle for the stub resizer's arithmetic (images only)."""
+    n = "octet_length(encode(text))"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({target_w} AS INT) AS width,
+               CAST({target_h} AS INT) AS height,
+               CAST(({n} * {target_w} * {target_h})
+                    // ((16 + {n} % 16) * (16 + ({n} // 16) % 16))
+                    AS BIGINT) AS n_bytes
+        FROM {docs_rel} WHERE doc_id % 3 = 0
+    """

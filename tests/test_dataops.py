@@ -411,3 +411,36 @@ def test_pack_shards_rejects_bad_budget(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_shards(docs, 0)
+
+
+def test_video_frame_sampling_matches_brute_force(spark, docs):
+    """Variable-fan-out mapInPandas == driver-side per-payload sampling."""
+    m = multimodal.media_table(docs)
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["luma"])
+        for r in multimodal.sample_video_frames(m, every_n=2).collect()
+    )
+    expect = sorted(
+        (r["doc_id"], i, luma)
+        for r in m.filter("media_type = 'video'").collect()
+        for i, luma in multimodal.sample_frames(bytes(r["payload"]), 2)
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_resize_media_arithmetic(spark, docs):
+    m = multimodal.media_table(docs)
+    got = multimodal.resize_media(m, 224, 224).collect()
+    n_images = m.filter("media_type = 'image'").count()
+    assert len(got) == n_images > 0
+    assert all(r["width"] == 224 and r["height"] == 224 for r in got)
+
+
+def test_resize_and_frame_stubs_raise_on_real():
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"x", 8, 8, real=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"x", 2, real=True)
+    # empty payload: fixed-shape zero outputs, no underflow
+    assert multimodal.resize_image(b"", 224, 224) == (224, 224, 0)
+    assert multimodal.sample_frames(b"", 2) == []
