@@ -471,3 +471,52 @@ def export_individual_markdown(
 
     rows.foreachPartition(write_partition)
     return files_root
+
+
+# ---------------------------------------------------------------------------
+# training-shard sink (terminal step of the crawl -> training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def export_training_shards(
+    docs: DataFrame,
+    budget: int,
+    out_dir: str,
+    text_col: str = "text",
+    order_cols: list[str] | None = None,
+    shards_per_file: int = 64,
+) -> DataFrame:
+    """Materialize token-budget-packed documents (operators/packing.py) as
+    a deterministic, bounded parquet layout a trainer streams sequentially.
+
+    Layout: directory ``file_id=F/`` holds shard range
+    [F*shards_per_file, (F+1)*shards_per_file) as EXACTLY ONE parquet part
+    file, rows sorted by (shard_id, shard_offset) — hash-repartitioning on
+    file_id puts each file's rows in one task, so Spark's partitionBy
+    writes one part per directory and preserves the in-task sort.  File
+    count is total_tokens / (budget * shards_per_file) regardless of input
+    partitioning; nothing is collected on the driver.  Returns the packed
+    frame (with text) for chaining/inspection."""
+    from crawler_to_md_spark.operators.packing import pack_shards
+
+    order_cols = order_cols or ["doc_id"]
+    packed = pack_shards(docs, budget, text_col=text_col,
+                         order_cols=order_cols)
+    joined = packed.join(
+        docs.select(*order_cols, F.col(text_col).alias("text")), order_cols
+    ).withColumn(
+        "file_id", F.floor(F.col("shard_id") / shards_per_file).cast("long")
+    )
+    (
+        joined.repartition("file_id")
+        # the sort MUST lead with file_id: FileFormatWriter re-sorts any
+        # task whose rows aren't ordered by the partition columns first,
+        # and its sort is not stable — leading with file_id (coarser than
+        # shard_id, so the (shard_id, shard_offset) order is unchanged)
+        # makes the required ordering already satisfied and keeps ours
+        .sortWithinPartitions("file_id", "shard_id", "shard_offset")
+        .write.partitionBy("file_id")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return joined

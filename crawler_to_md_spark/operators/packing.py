@@ -59,7 +59,13 @@ def with_running_total(
         part = df.repartitionByRange(num_partitions, *cols)
     else:
         part = df.repartitionByRange(*cols)
-    part = part.withColumn("__pid", F.spark_partition_id())
+    # eager checkpoint BEFORE the totals job: RangePartitioner's boundary
+    # sampling is seeded with the shuffle RDD id (new per execution), so
+    # without freezing the layout the per-partition totals would describe a
+    # DIFFERENT partitioning than the one the window pass runs on — the
+    # same latent bug fixed in seq.py (see its module docstring)
+    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True)
 
     totals = part.groupBy("__pid").agg(
         F.sum(weight_col).alias("__w")).collect()

@@ -8,14 +8,32 @@ window as a single-partition sort), which dies at 10^10 rows.
 
 ``with_ordered_seq`` computes the same dense 0-based rank in two phases:
 
-  1. range-repartition + sort by the order columns (a real distributed sort,
-     the same machinery as ``df.orderBy``),
-  2. per-partition ``row_number`` (window partitioned by
-     ``spark_partition_id`` — many independent groups, no single-task sort)
-     plus a broadcast map of partition row-count prefix sums.
+  1. range-repartition + in-partition sort by the order columns (a real
+     distributed sort, the same machinery as ``df.orderBy``), partition id
+     and in-partition row index stamped, then an EAGER localCheckpoint —
+     the checkpoint is load-bearing for correctness, see below;
+  2. a broadcast map of partition row-count prefix sums added to the
+     stamped in-partition index.  No window, no second shuffle: the old
+     form's ``row_number() OVER (PARTITION BY __pid)`` forced an Exchange
+     hashpartitioning(__pid) over the whole table even though rows were
+     already physically partitioned by __pid.
 
-The result is deterministic for any total-order key set regardless of how
-range sampling places the partition boundaries.
+Why the checkpoint is required (not an optimization): RangePartitioner's
+boundary sampling is seeded with the shuffle RDD's id, which is NEW on
+every query execution — so two actions over the same
+``repartitionByRange`` plan can land rows in DIFFERENT partitions.  The
+original two-job form (one job counting rows per partition, a second
+computing ranks) silently mixed offsets from one layout with ranks from
+another: measured ~78% wrong ranks over 1M rows.  Freezing the
+materialized layout makes both reads see identical blocks, and the final
+seq is a pure function of the key set (dense global rank) no matter where
+the sampled boundaries fell.
+
+The in-partition row index comes from ``monotonically_increasing_id``,
+whose documented layout is (partition id << 33) + row-index-in-partition;
+subtracting ``spark_partition_id() << 33`` recovers the index.  Both are
+stamped in the checkpointed projection, so their values are frozen with
+the layout.
 """
 
 from __future__ import annotations
@@ -55,7 +73,18 @@ def with_ordered_seq(
         part = df.repartitionByRange(num_partitions, *cols)
     else:
         part = df.repartitionByRange(*cols)
-    part = part.withColumn("__pid", F.spark_partition_id())
+    part = (
+        part.sortWithinPartitions(*cols)
+        .withColumns(
+            {
+                "__pid": F.spark_partition_id(),
+                "__mid": F.monotonically_increasing_id(),
+            }
+        )
+        # freeze the sampled range boundaries: every later read (the counts
+        # job AND the rank projection) sees the SAME materialized blocks
+        .localCheckpoint(eager=True)
+    )
 
     counts = part.groupBy("__pid").count().collect()
     offsets: dict[int, int] = {}
@@ -71,10 +100,7 @@ def with_ordered_seq(
         F.col("__pid"),
     ) if offsets else F.lit(0)
 
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
-        part.withColumn(
-            seq_col, (F.row_number().over(w) - 1 + offset_expr).cast("long")
-        )
-        .drop("__pid")
-    )
+    in_part = F.col("__mid") - F.col("__pid").cast("long") * F.lit(1 << 33)
+    return part.withColumn(
+        seq_col, (in_part + offset_expr).cast("long")
+    ).drop("__pid", "__mid")

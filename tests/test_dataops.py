@@ -444,3 +444,19 @@ def test_resize_and_frame_stubs_raise_on_real():
     # empty payload: fixed-shape zero outputs, no underflow
     assert multimodal.resize_image(b"", 224, 224) == (224, 224, 0)
     assert multimodal.sample_frames(b"", 2) == []
+
+
+def test_running_total_scale_path_exact(spark):
+    """Same boundary-resample regression as seq.py, for the prefix sum."""
+    from crawler_to_md_spark.operators.packing import with_running_total
+
+    n = 200_000
+    df = spark.createDataFrame(
+        [(f"u{i}", (i * 31) % 97 + 1) for i in range(n)],
+        "k string, w long")
+    got = {r["k"]: r["running_total"]
+           for r in with_running_total(df, "w", ["k"]).collect()}
+    acc = 0
+    for i in sorted(range(n), key=lambda i: f"u{i}"):
+        acc += (i * 31) % 97 + 1
+        assert got[f"u{i}"] == acc

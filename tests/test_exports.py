@@ -175,3 +175,40 @@ def test_end_to_end_crawl_export(spark, tmp_path):
     jp = str(tmp_path / "crawl.json")
     export_compiled_json_sharded(eng.docs(), eng.links(), path=jp, shards=8)
     assert json.loads(open(jp, encoding="utf-8").read()) == data
+
+
+class TestTrainingShardSink:
+    def test_layout_order_and_content(self, spark, tmp_path):
+        """One parquet part per file_id dir; rows inside sorted by
+        (shard_id, shard_offset); read-back == pack_shards + text."""
+        import glob
+        import os
+
+        from crawler_to_md_spark.exports import export_training_shards
+        from crawler_to_md_spark.operators.packing import pack_shards
+
+        rows = [(i, " ".join(["w"] * ((i * 29) % 70 + 1)))
+                for i in range(300)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = str(tmp_path / "shards")
+        export_training_shards(docs, budget=64, out_dir=out,
+                               shards_per_file=4)
+
+        dirs = sorted(glob.glob(os.path.join(out, "file_id=*")))
+        assert len(dirs) > 1                       # layout actually split
+        expect = {
+            (r["doc_id"], r["n_tokens"], r["shard_id"], r["shard_offset"])
+            for r in pack_shards(docs, 64).collect()
+        }
+        got = set()
+        for d in dirs:
+            parts = glob.glob(os.path.join(d, "*.parquet"))
+            assert len(parts) == 1                 # exactly one part/dir
+            back = spark.read.parquet(parts[0]).collect()
+            keys = [(r["shard_id"], r["shard_offset"]) for r in back]
+            assert keys == sorted(keys)            # in-file order
+            fid = int(d.rsplit("=", 1)[1])
+            assert all(r["shard_id"] // 4 == fid for r in back)
+            got |= {(r["doc_id"], r["n_tokens"], r["shard_id"],
+                     r["shard_offset"]) for r in back}
+        assert got == expect

@@ -259,3 +259,21 @@ def test_shardstore_update_touches_only_dirty_shards(spark, tmp_path):
     st.add_dataframe(one)
     assert st.shard_versions[3] == 1
     assert all(v == 0 for s, v in st.shard_versions.items() if s != 3)
+
+
+def test_with_ordered_seq_scale_path_exact(spark):
+    """Regression: RangePartitioner samples boundaries with a seed that
+    includes the (per-execution) shuffle RDD id, so the counts job and the
+    rank job could land rows in DIFFERENT partitions — ~78% wrong ranks
+    over 1M rows before the eager-checkpoint fix.  Small inputs sample
+    every row and never trip it; 200k rows do."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"))
+    for kwargs in ({}, {"num_partitions": 16}):
+        out = with_ordered_seq(df, ["k"], **kwargs).collect()
+        assert len(out) == n
+        by_seq = sorted(out, key=lambda r: r["seq"])
+        assert [r["seq"] for r in by_seq] == list(range(n))
+        ks = [r["k"] for r in by_seq]
+        assert ks == sorted(ks)
