@@ -101,6 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "a cache must be resumed with the backend it was "
                         "created with")
     p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument("--training-shards-dir", default=None,
+                   help="Also materialize the crawled corpus as token-"
+                        "budget-packed training shards (markdown text, "
+                        "url order) under this directory — the crawl -> "
+                        "training-data pipeline's terminal sink "
+                        "(exports.export_training_shards)")
+    p.add_argument("--token-budget", type=int, default=2048,
+                   help="Tokens per training shard for "
+                        "--training-shards-dir (default 2048)")
     p.add_argument("--small-export", action="store_true", default=False,
                    help="Assemble compiled exports on the driver (collect) "
                         "instead of the default executor-written sharded "
@@ -264,6 +273,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             docs, links, output_folder=output, base_url=args.base_url,
             minify=args.minify)
         print("Individual Markdown files exported to:", folder)
+    if args.training_shards_dir:
+        from crawler_to_md_spark.functions.markdown import (
+            spans_to_markdown_expr,
+        )
+
+        ok_docs = docs.filter(F.col("status") == "ok").select(
+            "url", F.expr(spans_to_markdown_expr("spans")).alias("text"))
+        exports.export_training_shards(
+            ok_docs, budget=args.token_budget,
+            out_dir=args.training_shards_dir, order_cols=["url"])
+        print("Training shards exported to:", args.training_shards_dir)
     return 0
 
 

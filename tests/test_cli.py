@@ -227,3 +227,31 @@ def test_respect_robots_refreshes_on_resume(spark, tmp_path, corpus_path,
     rc2, _, _ = _run(spark, tmp_path, *args, name="rr")   # same cache dir
     assert rc2 == 0
     assert calls == ["crawler-to-md-spark"]  # resume refreshed frontier hosts
+
+
+def test_training_shards_export(spark, tmp_path, corpus_path):
+    """--training-shards-dir materializes the crawl -> shards pipeline:
+    bounded parquet layout, every ok page present exactly once, shard
+    assignment consistent with the stream arithmetic."""
+    import glob
+
+    shards = str(tmp_path / "tshards")
+    rc, out, cache = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path,
+        "--training-shards-dir", shards, "--token-budget", "64",
+        name="ts",
+    )
+    assert rc == 0
+    dirs = glob.glob(os.path.join(shards, "file_id=*"))
+    assert dirs
+    back = spark.read.parquet(shards)
+    rows = sorted(back.collect(), key=lambda r: r["url"])
+    assert len(rows) == len({r["url"] for r in rows})       # one row/page
+    stream = 0
+    for r in rows:                                           # url order
+        assert r["shard_id"] == stream // 64
+        assert r["shard_offset"] == stream % 64
+        stream += r["n_tokens"]
+    assert rows[-1]["shard_id"] > 0
