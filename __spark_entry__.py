@@ -455,6 +455,51 @@ def _q_stream_schedule(spark, sf_dir):
     return out
 
 
+_INGEST_RESULTS: dict[str, DataFrame] = {}
+
+
+def _q_stream_ingest(spark, sf_dir):
+    """Streaming corpus ingestion (streaming/ingest.py): documents arrive
+    in 3 deterministic epochs (doc_id % 3, one file -> one micro-batch),
+    each epoch is token-gated, in-batch deduped (min-url keeper per md5
+    digest) and anti-joined against the COMMITTED corpus before an atomic
+    idempotent snapshot commit.  Oracle: per digest, the keeper is the
+    min url within the FIRST epoch containing the digest — the cross-batch
+    exactly-once dedup is exactly what the SQL twin recomputes."""
+    got = _INGEST_RESULTS.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+    import tempfile
+
+    from crawler_to_md_spark.store.warehouse import SnapshotStore
+    from crawler_to_md_spark.streaming import frontier as sf
+    from crawler_to_md_spark.streaming import ingest as si
+
+    work = tempfile.mkdtemp(prefix="entry_ingest_")
+    arrivals = os.path.join(work, "arrivals")
+    os.makedirs(arrivals, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("grp"),
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    sf.write_candidate_arrivals(spark, docs, arrivals)
+    store = SnapshotStore(
+        spark, os.path.join(work, "wh"),
+        schemas={"corpus_docs": si.CORPUS_DOCS_SCHEMA})
+    ing = si.StreamingCorpusIngest(store, min_tokens=40, store_buckets=16)
+    q = ing.start(
+        si.read_document_stream(spark, arrivals, max_files_per_trigger=1),
+        checkpoint_dir=os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    out = store.read("corpus_docs").select(
+        "digest", "url", "n_tokens",
+        F.col("epoch").cast("long").alias("epoch"))
+    _INGEST_RESULTS[sf_dir] = out
+    return out
+
+
 def _q_host_windows(spark, sf_dir):
     """ST2 batch form: the streaming politeness accounting
     (streaming/frontier.py host_request_windows — reference requests/min
@@ -592,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "stream_schedule": _q_stream_schedule,
+        "stream_ingest": _q_stream_ingest,
         "host_windows": _q_host_windows,
         "robots_gate": _q_robots_gate,
         "priority_schedule": _q_priority_schedule,
@@ -840,6 +886,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
             ORDER BY priority, depth, url
             LIMIT 50
+        """,
+        "stream_ingest": """
+            WITH docs AS (
+                SELECT CAST(doc_id % 3 AS INT) AS grp,
+                       'doc://' || CAST(doc_id AS VARCHAR) AS url, text,
+                       CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            gated AS (SELECT * FROM docs WHERE n_tokens >= 40),
+            firsts AS (
+                SELECT md5(text) AS digest, CAST(min(grp) AS BIGINT) AS epoch
+                FROM gated GROUP BY 1
+            )
+            SELECT f.digest, min(d.url) AS url, min(d.n_tokens) AS n_tokens,
+                   f.epoch
+            FROM firsts f
+            JOIN gated d ON md5(d.text) = f.digest AND d.grp = f.epoch
+            GROUP BY f.digest, f.epoch
         """,
         "host_windows": """
             SELECT strftime(time_bucket(INTERVAL 1 minute, ts),

@@ -229,3 +229,81 @@ def test_stateful_admission_budget_spans_micro_batches(spark, tmp_path):
     }
     assert got == {"u1": True, "u2": True, "u5": True,
                    "u3": False, "u4": True, "u6": True}
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus ingestion (streaming/ingest.py)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark):
+    # three arrival epochs; "dup text" re-arrives in epochs 0/1/2 from
+    # different urls, "tiny" fails the 3-token quality gate
+    rows = [
+        (0, "https://h0.example.com/a", "dup text body with six tokens"),
+        (0, "https://h0.example.com/b", "unique zero body has five tokens"),
+        (1, "https://h0.example.com/c", "dup text body with six tokens"),
+        (1, "https://h0.example.com/d", "unique one body alpha beta"),
+        (1, "https://h0.example.com/e", "tiny doc"),
+        (2, "https://h0.example.com/f", "dup text body with six tokens"),
+        (2, "https://h0.example.com/g", "unique two body gamma delta"),
+    ]
+    return spark.createDataFrame(rows, "grp int, url string, text string")
+
+
+def _run_ingest(spark, tmp_path):
+    from crawler_to_md_spark.streaming import ingest
+
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir, exist_ok=True)
+    frontier.write_candidate_arrivals(spark, _mk_docs(spark), in_dir)
+    store = SnapshotStore(
+        spark, str(tmp_path / "corpus_wh"),
+        schemas={"corpus_docs": ingest.CORPUS_DOCS_SCHEMA})
+    ing = ingest.StreamingCorpusIngest(store, min_tokens=3, store_buckets=8)
+    q = ing.start(
+        ingest.read_document_stream(spark, in_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ingest_ckpt"))
+    q.awaitTermination()
+    return store, ing
+
+
+def test_stream_ingest_dedups_across_epochs(spark, tmp_path):
+    store, _ = _run_ingest(spark, tmp_path)
+    rows = store.read("corpus_docs").collect()
+    by_text = {r["text"]: r for r in rows}
+    assert len(rows) == len(by_text) == 4          # tiny gated, dups folded
+    dup = by_text["dup text body with six tokens"]
+    assert dup["url"] == "https://h0.example.com/a"   # first-epoch min-url
+    assert dup["epoch"] == 0
+    assert by_text["unique two body gamma delta"]["epoch"] == 2
+    assert all(r["n_tokens"] >= 3 for r in rows)
+    assert store.lineage["counters"]["docs_ingested"] == 4
+
+
+def test_stream_ingest_epoch_replay_is_idempotent(spark, tmp_path):
+    store, ing = _run_ingest(spark, tmp_path)
+    before = sorted((r["digest"], r["url"], r["epoch"])
+                    for r in store.read("corpus_docs").collect())
+    batch_id_before = store.batch_id
+    # replay an already-committed epoch with EXTRA rows: must be a no-op
+    replay = spark.createDataFrame(
+        [("https://h0.example.com/zz", "replayed body never lands here")],
+        "url string, text string")
+    ing.process_batch(replay, 1)
+    assert store.batch_id == batch_id_before
+    after = sorted((r["digest"], r["url"], r["epoch"])
+                   for r in store.read("corpus_docs").collect())
+    assert after == before
+
+
+def test_stream_ingest_all_duplicate_batch_commits_lineage_only(spark,
+                                                                tmp_path):
+    store, ing = _run_ingest(spark, tmp_path)
+    n_before = store.read("corpus_docs").count()
+    dup_only = spark.createDataFrame(
+        [("https://h9.example.com/x", "dup text body with six tokens")],
+        "url string, text string")
+    ing.process_batch(dup_only, 99)
+    assert store.read("corpus_docs").count() == n_before
+    assert store.lineage["ingest_epoch"] == 99     # epoch advanced anyway
