@@ -544,7 +544,9 @@ def _q_robots_gate(spark, sf_dir):
         F.lit("User-agent: *\nDisallow: /docs/p1\nDisallow: /docs/p3\n\n"
               "User-agent: mybot\nDisallow: /docs/p2\n"),
     ).otherwise(F.lit("User-agent: *\nDisallow:\n"))
-    parse = F.udf(lambda t: parse_robots(t, "mybot/1.0"), "array<string>")
+    parse = F.pandas_udf(
+        lambda t: t.map(lambda x: parse_robots(x, "mybot/1.0")),
+        "array<string>")
     rules = (
         pages.select("host").distinct()
         .select("host", parse(body).alias("disallow"))
@@ -592,6 +594,54 @@ def _q_crawl_training_shards(spark, sf_dir):
         "url", F.expr(spans_to_markdown_expr("spans")).alias("md"))
     gated = md.filter(token_count(F.col("md")) >= 10)
     return pack_shards(gated, budget=512, text_col="md", order_cols=["url"])
+
+
+# planted-mirror derivation for the certified cleaning pipeline: mirrors
+# model the same content fetched at a second URL (the dominant exact-dup
+# source in real crawls); near rows model boilerplate-appended variants
+CLEAN_MOD = 9                 # page_id % 9 == 0 -> exact copy at +10^7
+CLEAN_NEAR_REM = 3            # page_id % 9 == 3 -> near copy at +2*10^7
+CLEAN_NEAR_SUFFIX = " extra mirrored tail tokens appended"
+
+
+def _q_crawl_clean_shards(spark, sf_dir):
+    """THE full training-data cleaning pipeline from the crawl, certified
+    as one statement: crawl -> span->markdown serialization -> token-count
+    quality gate (>= 10) -> exact dedup (min-id keeper per md5 digest) ->
+    near-dup CLUSTER collapse (exact shingle-Jaccard pairs >= 0.5,
+    connected components, drop non-keepers) -> 512-token shard packing.
+
+    Exact mirror pages (every 9th page at a ``?mirror=1`` URL) and
+    near-dup variants (every 9th+3 page with appended boilerplate) are
+    planted arithmetically so the exact-dedup and collapse stages provably
+    fire on crafted rows in addition to the corpus's organic near-dups.
+    The pair stage is the EXACT inverted-index form (dedup.py
+    shingle_jaccard_pairs), not LSH: the organic pair population sits on a
+    continuous Jaccard spectrum through the threshold, where LSH's
+    per-pair miss probability is real — the oracle (brute-force pairs +
+    recursive-CTE closure + window cumsum) demands determinism.  The LSH
+    variant of the SAME composition is pytest-certified on the planted
+    dup corpus (tests/test_dataops.py)."""
+    docs = _engine(spark, sf_dir).docs().filter("status = 'ok'")
+    md = docs.select(
+        "url", F.expr(spans_to_markdown_expr("spans")).alias("md")
+    ).withColumn(
+        "did", F.regexp_extract("url", r"/docs/p(\d+)$", 1).cast("long")
+    )
+    mirror = md.filter(F.col("did") % CLEAN_MOD == 0).select(
+        F.concat("url", F.lit("?mirror=1")).alias("url"), "md",
+        (F.col("did") + 10_000_000).alias("did"),
+    )
+    near = md.filter(F.col("did") % CLEAN_MOD == CLEAN_NEAR_REM).select(
+        F.concat("url", F.lit("?near=1")).alias("url"),
+        F.concat("md", F.lit(CLEAN_NEAR_SUFFIX)).alias("md"),
+        (F.col("did") + 20_000_000).alias("did"),
+    )
+    corpus_all = md.unionByName(mirror).unionByName(near)
+    return dedup.clean_shards(
+        corpus_all, budget=512, text_col="md", id_col="did",
+        order_cols=["url"], min_tokens=10, threshold=0.5, pairs="exact",
+    )
 
 
 def _q_pack_shards(spark, sf_dir):
@@ -643,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_schedule": _q_priority_schedule,
         "pack_shards": _q_pack_shards,
         "crawl_training_shards": _q_crawl_training_shards,
+        "crawl_clean_shards": _q_crawl_clean_shards,
         "quality_dedup_pipeline": _q_quality_dedup_pipeline,
         "near_dup_components": _q_near_dup_components,
         "cuckoo_purge_schedule": _q_cuckoo_purge_schedule,
@@ -868,6 +919,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start_tok / 512) AS BIGINT) AS shard_id,
                    CAST(start_tok % 512 AS BIGINT) AS shard_offset
             FROM summed
+        """,
+        "crawl_clean_shards": f"""
+            {_reach_cte()},
+            crawled AS (
+                SELECT m.url AS url, m.g AS did, {markdown} AS md
+                FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+                WHERE m.cls IN ('ok', 'transient')
+            ),
+            planted AS (
+                SELECT url, did, md FROM crawled
+                UNION ALL
+                SELECT url || '?mirror=1', did + 10000000, md
+                FROM crawled WHERE did % {CLEAN_MOD} = 0
+                UNION ALL
+                SELECT url || '?near=1', did + 20000000,
+                       md || '{CLEAN_NEAR_SUFFIX}'
+                FROM crawled WHERE did % {CLEAN_MOD} = {CLEAN_NEAR_REM}
+            ),
+            gated AS (
+                SELECT url, did, md,
+                       CAST(len(string_split(trim(md), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM planted
+                WHERE len(string_split(trim(md), ' ')) >= 10
+            ),
+            dg_keepers AS (
+                SELECT md5(md) AS dg, min(did) AS kdid FROM gated GROUP BY 1
+            ),
+            exact_kept AS (
+                SELECT g.* FROM gated g JOIN dg_keepers k
+                ON md5(g.md) = k.dg AND g.did = k.kdid
+            ),
+            clean_sh AS (
+                SELECT did,
+                       list_distinct(list_transform(
+                           range(0, greatest(
+                               len(string_split(trim(md), ' ')) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(
+                               string_split(trim(md), ' '), i + 1, i + 3),
+                               ' '))) AS s
+                FROM exact_kept
+            ),
+            clean_pairs AS (
+                SELECT a.did AS u, b.did AS v
+                FROM clean_sh a JOIN clean_sh b ON a.did < b.did
+                WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.s, b.s))), 6)
+                      >= 0.5
+            ),
+            clean_edges AS (
+                SELECT u, v FROM clean_pairs
+                UNION SELECT v, u FROM clean_pairs
+            ),
+            clean_reach(node, comp) AS (
+                SELECT u, u FROM clean_edges
+                UNION
+                SELECT e.v, r.comp
+                FROM clean_reach r JOIN clean_edges e ON e.u = r.node
+            ),
+            clean_losers AS (
+                SELECT node FROM (
+                    SELECT node, min(comp) AS comp FROM clean_reach
+                    GROUP BY node
+                ) WHERE node <> comp
+            ),
+            cleaned AS (
+                SELECT k.url, k.n_tokens FROM exact_kept k
+                LEFT JOIN clean_losers l ON k.did = l.node
+                WHERE l.node IS NULL
+            ),
+            clean_summed AS (
+                SELECT url, n_tokens, SUM(n_tokens) OVER (
+                    ORDER BY url
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens AS start_tok
+                FROM cleaned
+            )
+            SELECT url, n_tokens,
+                   CAST(floor(start_tok / 512) AS BIGINT) AS shard_id,
+                   CAST(start_tok % 512 AS BIGINT) AS shard_offset
+            FROM clean_summed
         """,
         "priority_schedule": f"""
             {_meta_cte()},

@@ -110,6 +110,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--token-budget", type=int, default=2048,
                    help="Tokens per training shard for "
                         "--training-shards-dir (default 2048)")
+    p.add_argument("--clean", action="store_true", default=False,
+                   help="Run the full cleaning pipeline before the "
+                        "--training-shards-dir packing: token quality "
+                        "gate -> exact dedup -> MinHash-LSH near-dup "
+                        "cluster collapse -> drop (operators/dedup."
+                        "clean_pipeline, the composition the certified "
+                        "crawl_clean_shards query pins exactly)")
+    p.add_argument("--clean-min-tokens", type=int, default=10,
+                   help="--clean quality gate: minimum whitespace tokens "
+                        "per page (default 10)")
+    p.add_argument("--clean-threshold", type=float, default=0.5,
+                   help="--clean near-dup Jaccard threshold (default 0.5)")
     p.add_argument("--small-export", action="store_true", default=False,
                    help="Assemble compiled exports on the driver (collect) "
                         "instead of the default executor-written sharded "
@@ -280,6 +292,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         ok_docs = docs.filter(F.col("status") == "ok").select(
             "url", F.expr(spans_to_markdown_expr("spans")).alias("text"))
+        if args.clean:
+            from crawler_to_md_spark.operators.dedup import clean_pipeline
+
+            # numeric keeper id: xxhash64(url) is deterministic across
+            # runs and cluster sizes (the keeper is min id per cluster —
+            # arbitrary but stable); collision odds at 10^10 docs are
+            # ~1e-3 over the whole corpus, each costing one spurious merge
+            ok_docs = clean_pipeline(
+                ok_docs.withColumn("__did", F.xxhash64("url")),
+                text_col="text", id_col="__did",
+                min_tokens=args.clean_min_tokens,
+                threshold=args.clean_threshold,
+                pairs="lsh",   # the probabilistic 10^10-doc scale path;
+                               # the exact form backs the oracle query
+            ).drop("__did")
         exports.export_training_shards(
             ok_docs, budget=args.token_budget,
             out_dir=args.training_shards_dir, order_cols=["url"])

@@ -42,9 +42,22 @@ per-row invariant (BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import os
 import re
 from html import unescape
 from html.parser import HTMLParser
+
+try:  # optional fast path: the reference's one claimed perf number is
+    # lxml's 3-10x parse speedup (IMPROVEMENTS_IMPLEMENTATION_PLAN.md:21);
+    # at 100 TB parse is the dominant compute, so a deployment with lxml
+    # installed gets it with zero code change.  The sandbox has no lxml —
+    # the stdlib path carries all CI evidence; parity is enforced by the
+    # parametrized extraction suite wherever lxml exists.
+    from lxml import etree as _lxml_etree
+except ImportError:  # pragma: no cover - sandbox has no lxml
+    _lxml_etree = None
+
+HAVE_LXML = _lxml_etree is not None
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -261,25 +274,79 @@ class _SpanParser(HTMLParser):
         if self._block is not None:
             self._buf.append(data)
 
-    def close(self):
-        super().close()
+    def finalize(self):
         self._flush_block()
         if self.title is not None:
             self.title = _WS_RE.sub(" ", self.title).strip()
+
+    def close(self):
+        super().close()
+        self.finalize()
+
+
+class _LxmlTarget:
+    """lxml.etree target adapter: routes libxml2's SAX-ish events into the
+    SAME ``_SpanParser`` hook methods the stdlib path uses — one semantics
+    implementation, two parse engines, so the fast path cannot drift from
+    the tested one.  Event-model differences handled here:
+
+    * lxml emits an ``end`` for every element including voids (stdlib
+      html.parser never emits endtag for voids) — suppressed, or the
+      strip-depth counter would underflow inside excluded subtrees;
+    * attributes arrive as a dict, the hooks expect (k, v) pairs.
+    """
+
+    __slots__ = ("p",)
+
+    def __init__(self, p: _SpanParser):
+        self.p = p
+
+    def start(self, tag, attrib):
+        self.p.handle_starttag(tag, list(attrib.items()))
+
+    def end(self, tag):
+        if tag not in _VOID_TAGS:
+            self.p.handle_endtag(tag)
+
+    def data(self, text):
+        self.p.handle_data(text)
+
+    def comment(self, text):
+        pass
+
+    def close(self):
+        return None
+
+
+# "lxml" when available, else "stdlib"; a deployment can pin either via
+# CMS_HTML_PARSER (the knob is read at import so executor workers resolve
+# it once, not per row)
+DEFAULT_PARSER = os.environ.get("CMS_HTML_PARSER") or (
+    "lxml" if HAVE_LXML else "stdlib")
 
 
 def extract_document(
     html: str | None,
     include: list[str] | None = None,
     exclude: list[str] | None = None,
+    parser: str | None = None,
 ) -> tuple[str | None, list[tuple], list[str]]:
     """Parse once; return (title, spans-with-offsets, raw out_links)."""
     if html is None:
         return None, [], []
     p = _SpanParser(include, exclude)
+    engine = parser or DEFAULT_PARSER
     try:
-        p.feed(unescape_entities_safe(html))
-        p.close()
+        if engine == "lxml":
+            if _lxml_etree is None:
+                raise RuntimeError("lxml parser requested but not installed")
+            lp = _lxml_etree.HTMLParser(target=_LxmlTarget(p), recover=True)
+            lp.feed(unescape_entities_safe(html))
+            lp.close()
+            p.finalize()
+        else:
+            p.feed(unescape_entities_safe(html))
+            p.close()
     except Exception:
         return p.title, [], []
     spans = [

@@ -62,8 +62,14 @@ from crawler_to_md_spark.operators.politeness import (
     robots_filter,
 )
 from crawler_to_md_spark.operators.seq import with_ordered_seq
-from crawler_to_md_spark.store.schemas import DOCS_SCHEMA, LINKS_SCHEMA, METRICS_SCHEMA
+from crawler_to_md_spark.store.schemas import (
+    DOCS_SCHEMA,
+    LINKS_SCHEMA,
+    METRICS_SCHEMA,
+    ROBOTS_SCHEMA,
+)
 from crawler_to_md_spark.store.warehouse import (
+    AppendUpdate,
     BucketedUpdate,
     LiteralAppend,
     SnapshotStore,
@@ -74,33 +80,40 @@ RETRIABLE_STATUSES = (429, 500, 502, 503, 504)  # scraper.py:101-106 forcelist
 _PROFILE = bool(os.environ.get("CMS_PROFILE"))
 
 
-_OBS_UNAVAILABLE = False  # set after the first miss: skip straight to the agg
-
-
-def _observation_result(obs: Observation, timeout: float = 5.0):
+def _observation_result(obs: Observation, timeout: float = 5.0,
+                        state: "dict | None" = None):
     """Bounded wait for observed metrics.  ``Observation.get`` blocks with
     no timeout; a daemon getter thread caps the wait so a metrics-routing
     change in a future Spark degrades to the agg fallback instead of
     hanging the crawl driver.  The timeout is short — the eager checkpoint
     job has already completed synchronously when this is called — and the
-    first miss is remembered so later waves do not re-wait (or leak another
+    first miss is remembered in ``state`` (the calling ENGINE's flag dict,
+    not a process global — one engine's miss must not downgrade every other
+    engine in the process) so later waves do not re-wait (or leak another
     blocked getter thread) every wave."""
-    global _OBS_UNAVAILABLE
-    if _OBS_UNAVAILABLE:
+    state = state if state is not None else {}
+    if state.get("obs_unavailable"):
         return None
     import threading
 
     box: dict = {}
-    th = threading.Thread(target=lambda: box.update(v=obs.get), daemon=True)
+
+    def _get():
+        try:
+            box.update(v=obs.get)
+        except Exception:
+            pass  # e.g. NO_OBSERVE_BEFORE_GET — counts as a miss below
+
+    th = threading.Thread(target=_get, daemon=True)
     th.start()
     th.join(timeout)
     if "v" not in box:
-        _OBS_UNAVAILABLE = True
+        state["obs_unavailable"] = True
         from crawler_to_md_spark.progress import get_logger
 
         get_logger().warning(
             "observed metrics did not arrive within %.1fs; falling back to "
-            "per-wave aggregation for the rest of this process", timeout)
+            "per-wave aggregation for the rest of this engine", timeout)
         return None
     return box["v"]
 
@@ -202,10 +215,22 @@ class CrawlEngine:
         self._fetch_stage = fetch_stage
         self._robots_transport_factory = robots_transport_factory
         self._robots_agent = robots_agent
-        # hosts whose robots.txt has been fetched (or supplied manually) —
-        # driver-side set, O(distinct hosts), the same order as the rules
-        # table the gate broadcasts.  None = not yet derived from `robots`.
-        self._robots_hosts: set | None = None
+        # Covered-host tracking is TABLE membership, never a driver-side
+        # set: the rules table carries one row per attempted host
+        # (``disallow IS NULL`` = fetched, no reachable rules = allowed)
+        # and new hosts are found with an anti-join against it — a
+        # domain-unbounded web crawl sees 10^7-10^8 distinct hosts, which
+        # neither a Python set nor a single collect_set row survives.
+        # Only the COUNT lives on the driver, as the gate's broadcast-vs-
+        # shuffle hint (politeness.ROBOTS_BROADCAST_MAX).
+        self._n_robots_hosts: int | None = None
+        # rules rows fetched since the last snapshot commit; appended to
+        # the store's `robots` table with the next wave commit so coverage
+        # survives restarts (resume never re-fetches a covered host)
+        self._robots_pending: DataFrame | None = None
+        # per-engine observed-metrics health: one missed Observation
+        # downgrades THIS engine to the agg fallback, not the process
+        self._obs_state: dict = {}
         # strategy-selected store: parquet snapshots in the sandbox, Iceberg
         # when a catalog is configured (store/iceberg.py; set
         # CMS_STORE_BACKEND=iceberg to require it)
@@ -214,7 +239,7 @@ class CrawlEngine:
         self.store = make_store(
             spark, warehouse_dir,
             schemas={"links": LINKS_SCHEMA, "docs": DOCS_SCHEMA,
-                     "metrics": METRICS_SCHEMA},
+                     "metrics": METRICS_SCHEMA, "robots": ROBOTS_SCHEMA},
         )
         self.robots = robots
         # injectable for sleep-math tests (reference scraper.py:428-475)
@@ -297,7 +322,8 @@ class CrawlEngine:
             )
         )
         valid = robots_filter(
-            valid.withColumn("host", urlkit.url_host(F.col("url"))), self.robots
+            valid.withColumn("host", urlkit.url_host(F.col("url"))),
+            self.robots, self._robots_host_count(),
         )
         # order-preserving dedup: first occurrence wins (utils.py:94-106)
         w = Window.partitionBy("url").orderBy("seed_seq")
@@ -393,8 +419,10 @@ class CrawlEngine:
             # dequeue-time robots gate: URLs inserted BEFORE their host's
             # rules arrived (same-wave discovery precedes the per-wave
             # robots fetch) are blocked here instead — never fetched, left
-            # unvisited.  Broadcast join, no shuffle (politeness.py).
-            pending = robots_filter(pending, self.robots)
+            # unvisited.  Broadcast below ROBOTS_BROADCAST_MAX covered
+            # hosts, shuffled left join above (politeness.py).
+            pending = robots_filter(pending, self.robots,
+                                    self._robots_host_count())
         pending = pending.withColumn("priority", F.col("depth"))
 
         if cfg.host_budget is not None:
@@ -470,7 +498,7 @@ class CrawlEngine:
         # (lineage is gone) — the wave fails and resumes from the last
         # snapshot, which is the engine's designed recovery path anyway.
         fetched = fetched.observe(obs, *wave_aggs).localCheckpoint(eager=True)
-        stats = _observation_result(obs)
+        stats = _observation_result(obs, state=self._obs_state)
         if stats is None:
             # metrics did not fire for the checkpoint job (defensive: a
             # Spark upgrade routing eager checkpoints outside query
@@ -535,14 +563,10 @@ class CrawlEngine:
                 F.count(F.lit(1)).alias("discovered"),
                 F.sum(unseen.cast("long")).alias("inserted"),
                 F.collect_set(F.when(unseen, bucket_of)).alias("dirty_buckets"),
-                # hosts this wave's inserts introduce — rides the same
-                # observed checkpoint; bounded by the wave's distinct new
-                # hosts (collect_set drops the nulls of seen candidates)
-                F.collect_set(F.when(unseen, F.col("host"))).alias("new_hosts"),
             ]
             dobs = Observation(f"wave-{wave_id}-discover")
             flagged = flagged.observe(dobs, *d_aggs).localCheckpoint(eager=True)
-            dstats = _observation_result(dobs)
+            dstats = _observation_result(dobs, state=self._obs_state)
             if dstats is None:
                 dstats = flagged.agg(*d_aggs).collect()[0].asDict()
             pt.mark("discover_exec")
@@ -553,8 +577,14 @@ class CrawlEngine:
                 # per-wave auto-robots: cover the hosts these inserts
                 # introduced before the next wave dequeues them.  Their
                 # URLs are already in the frontier; disallowed ones are
-                # blocked by the dequeue-time gate above.
-                self._fetch_robots_for_hosts(dstats["new_hosts"] or [])
+                # blocked by the dequeue-time gate above.  The host frame
+                # is a distinct+anti-join over the wave's CHECKPOINTED
+                # candidates — never a collect_set (a single wave of a
+                # domain-unbounded crawl can introduce 10^6 hosts; one
+                # aggregation-buffer array would blow result-size limits
+                # long before the rules table does).
+                self._fetch_robots_for_hosts(
+                    flagged.filter(unseen).select("host"))
             pt.mark("seq")
             if inserted:
                 new_links = with_ordered_seq(
@@ -654,12 +684,21 @@ class CrawlEngine:
             # docs rows carry no url_hash column; BucketedUpdate falls
             # back to xxhash64(url) — the same key, same buckets
             updates["docs"] = BucketedUpdate(docs_new, docs_dirty, B)
+        if self._robots_pending is not None:
+            # rules fetched since the last commit become one appended
+            # segment of the store's robots coverage table — restart-safe,
+            # and the in-memory rules frame rebases onto the parquet scan
+            # below so its plan never accumulates per-wave union lineage
+            updates["robots"] = AppendUpdate(self._robots_pending)
         self.store.commit(
             updates,
             batch_id=wave_id,
             lineage=_final_lineage,
             extra_tasks=[bloom_task] if bloom_task else None,
         )
+        if self._robots_pending is not None:
+            self._robots_pending = None
+            self.robots = self.store.read("robots")
         # fetched/flagged are checkpointed, not cached: their blocks are
         # reclaimed by the ContextCleaner once these references drop at
         # wave end (unpersist() would be a no-op on them)
@@ -707,6 +746,7 @@ class CrawlEngine:
             include_patterns=cfg.include_patterns,
             exclude_patterns=cfg.exclude_patterns,
             robots=self.robots,
+            robots_n_hosts=self._robots_host_count(),
         )
         counters = self.store.lineage.get("counters", {})
         seen_count = (int(counters.get("seeds", 0))
@@ -788,17 +828,18 @@ class CrawlEngine:
         # global caps, and saves one Spark job per wave
         pending_df = self.store.read("links").filter(~F.col("visited"))
         if self._robots_transport_factory is not None:
+            self._load_committed_robots()
             # run-start auto-robots: cover seed hosts (fresh run) and any
-            # host discovered after the last rules fetch (resume) — one
-            # agg job carrying the pending count AND the host set
-            row = pending_df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set("host").alias("hosts"),
-            ).collect()[0]
-            pending = int(row["n"])
-            self._fetch_robots_for_hosts(row["hosts"] or [])
-        else:
-            pending = pending_df.count()
+            # host discovered after the last rules fetch (resume).  The
+            # host frame goes through distinct+anti-join, never a
+            # collect_set (frontier host cardinality is unbounded).
+            self._fetch_robots_for_hosts(pending_df.select("host"))
+        # count pending THROUGH the rules gate: robots-blocked unvisited
+        # rows never dequeue, so an ungated count would over-report and the
+        # arithmetic counter below would pay one extra empty wave before
+        # the n==0 break
+        pending = robots_filter(pending_df, self.robots,
+                                self._robots_host_count()).count()
         from crawler_to_md_spark.progress import get_logger, wave_progress
 
         log = get_logger()
@@ -816,7 +857,20 @@ class CrawlEngine:
                 break
         lineage = dict(self.store.lineage)
         lineage["runs"] = run_id
-        self.store.commit({}, batch_id=self.store.batch_id, lineage=lineage)
+        final_updates = {}
+        if self._robots_pending is not None:
+            # a zero-wave run (drained frontier) still persists any rules
+            # the run-start auto-robots fetch produced; bump the snapshot
+            # id so the appended segment never collides with a path an
+            # earlier commit already registered
+            final_updates["robots"] = AppendUpdate(self._robots_pending)
+        self.store.commit(
+            final_updates,
+            batch_id=self.store.batch_id + (1 if final_updates else 0),
+            lineage=lineage)
+        if self._robots_pending is not None:
+            self._robots_pending = None
+            self.robots = self.store.read("robots")
         self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return {"run_id": run_id, "waves": waves,
                 "dequeued": dequeued_total, "requeued": requeued}
@@ -836,49 +890,92 @@ class CrawlEngine:
     # robots refresh (production: covers DISCOVERED hosts, not just seeds)
     # ------------------------------------------------------------------
 
-    def _robots_known_hosts(self) -> set:
-        """Hosts already covered by the rules gate (fetched or manual)."""
-        if self._robots_hosts is None:
-            self._robots_hosts = (
-                set()
-                if self.robots is None
-                else {
-                    r["host"]
-                    for r in self.robots.select("host").distinct().collect()
-                }
-            )
-        return self._robots_hosts
+    def _robots_host_count(self) -> int | None:
+        """Covered-host count — the gate's broadcast-vs-shuffle hint.
+        Derived once per installed table (one count job over the one-row-
+        per-host rules frame) and maintained incrementally by the fetch
+        path; never a host SET (see __init__)."""
+        if self.robots is None:
+            return None
+        if self._n_robots_hosts is None:
+            self._n_robots_hosts = self.robots.count()
+        return self._n_robots_hosts
+
+    def _load_committed_robots(self) -> None:
+        """Install the store's committed robots coverage table (restart
+        path: a resumed crawl never re-fetches a covered host).  Manually
+        supplied rules win per host; manual rows for hosts the store has
+        never seen are queued for commit so they persist too."""
+        if not self.store.has_table("robots"):
+            if self.robots is not None and self._robots_pending is None:
+                manual = self.robots.select("host", "disallow")
+                self._robots_pending = manual
+            return
+        stored = self.store.read("robots")
+        if self.robots is None:
+            self.robots = stored
+        else:
+            manual = self.robots.select("host", "disallow")
+            manual_new = manual.join(
+                stored.select("host"), "host", "left_anti")
+            if not manual_new.isEmpty():
+                self._robots_pending = manual_new
+            self.robots = manual.unionByName(
+                stored.join(manual.select("host"), "host", "left_anti"))
+        self._n_robots_hosts = None
 
     def _fetch_robots_for_hosts(self, hosts) -> int:
         """Per-wave auto-robots: fetch + install rules for the hosts in
-        ``hosts`` not yet covered.  Hosts with no reachable robots.txt get
-        no rules row (= fully allowed) but are still marked covered so they
-        are fetched at most once per engine.  The growing rules frame is
-        localCheckpoint-ed: the gate joins it every wave, and a persisted
-        union-of-mapInPandas lineage would re-issue the HTTP fetches on any
-        recompute.  Returns the number of NEW hosts fetched."""
+        ``hosts`` not yet covered.  ``hosts`` is a DataFrame with a ``host``
+        column (the scale path — distinct + anti-join against the rules
+        table, nothing driver-side) or a small driver iterable.
+
+        Hosts with no reachable robots.txt get a ``disallow IS NULL``
+        coverage row (= fully allowed, robots_allowed NULL semantics) so
+        membership in the rules table IS the covered-set — they are fetched
+        at most once per warehouse, across restarts.  The fetched frame is
+        localCheckpoint-ed (a recomputed union-of-mapInPandas lineage would
+        re-issue the HTTP fetches) and queued for the next snapshot commit.
+        Returns the number of NEW hosts attempted."""
         if self._robots_transport_factory is None:
-            return 0
-        new = sorted(set(h for h in hosts if h) - self._robots_known_hosts())
-        if not new:
             return 0
         from crawler_to_md_spark.sources.fetch import FetchPolicy
         from crawler_to_md_spark.sources.robots import fetch_robots
 
-        frame = self.spark.createDataFrame([(h,) for h in new], "host string")
+        if isinstance(hosts, DataFrame):
+            cand = hosts.select("host")
+        else:
+            hs = sorted({h for h in hosts if h})
+            if not hs:
+                return 0
+            cand = self.spark.createDataFrame([(h,) for h in hs],
+                                              "host string")
+        cand = cand.filter(
+            F.col("host").isNotNull() & (F.col("host") != "")
+        ).distinct()
+        if self.robots is not None:
+            cand = cand.join(self.robots.select("host"), "host", "left_anti")
         fetched = fetch_robots(
-            frame,
+            cand,
             FetchPolicy(timeout=self.config.timeout, proxy=self.config.proxy),
             self._robots_transport_factory,
             agent=self._robots_agent,
+            emit_all=True,
+        ).localCheckpoint(eager=True)
+        n_new = fetched.count()
+        if not n_new:
+            return 0
+        base = self._robots_host_count() or 0
+        self._robots_pending = (
+            fetched if self._robots_pending is None
+            else self._robots_pending.unionByName(fetched)
         )
-        if self.robots is not None:
-            fetched = self.robots.select("host", "disallow").unionByName(
-                fetched.select("host", "disallow")
-            )
-        self.robots = fetched.localCheckpoint(eager=True)
-        self._robots_hosts = self._robots_known_hosts() | set(new)
-        return len(new)
+        self.robots = (
+            fetched if self.robots is None
+            else self.robots.select("host", "disallow").unionByName(fetched)
+        )
+        self._n_robots_hosts = base + n_new
+        return n_new
 
     def refresh_robots(self, transport_factory=None,
                        agent: str = "crawler-to-md-spark") -> int:
@@ -912,16 +1009,12 @@ class CrawlEngine:
         old = self.robots
         self.robots = fetched.persist()
         n = self.robots.count()
+        self._n_robots_hosts = n
         if old is not None:
             try:
                 old.unpersist()
             except Exception:
                 pass
-        # every frontier host is now covered — record it so the per-wave
-        # auto gate doesn't re-fetch any of them
-        self._robots_hosts = self._robots_known_hosts() | {
-            r["host"] for r in hosts.collect()
-        }
         return n
 
     # ------------------------------------------------------------------

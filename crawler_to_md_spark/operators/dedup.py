@@ -296,20 +296,18 @@ def char_ngrams(text: F.Column, n: int = NGRAM_N) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def ngram_jaccard_dups(
-    docs: DataFrame,
-    text_col: str = "text",
-    n: int = NGRAM_N,
-    threshold: float = 0.5,
-    max_df: int | None = None,
+def _jaccard_pairs_from_grams(
+    grams: DataFrame, threshold: float, max_df: int | None
 ) -> DataFrame:
-    """EXACT character-n-gram Jaccard near-dup pairs via an inverted index.
+    """EXACT set-Jaccard near-dup pairs via an inverted index, shared by the
+    character-n-gram and word-shingle variants.  Input: ``(doc_id, gs)``
+    with ``gs`` the document's DISTINCT gram array.
 
     Unlike :func:`minhash_near_dups` (probabilistic candidate generation),
-    this is the exact-similarity variant: explode each document's distinct
-    n-gram set into ``(gram, doc_id, set_size)`` postings, self-join on the
-    gram, and count shared grams per pair — any pair with Jaccard > 0
-    shares a gram, so the posting join enumerates a guaranteed superset and
+    this is the exact-similarity form: explode each document's gram set
+    into ``(gram, doc_id, set_size)`` postings, self-join on the gram, and
+    count shared grams per pair — any pair with Jaccard > 0 shares a gram,
+    so the posting join enumerates a guaranteed superset and
     ``|A ∩ B| / (|A| + |B| - |A ∩ B|)`` is computed exactly.  The only
     shuffles are the posting join (keyed by gram) and the pair groupBy.
 
@@ -319,26 +317,20 @@ def ngram_jaccard_dups(
     Jaccard is then computed over the RETAINED vocabulary (set sizes are
     recomputed after the cut — the standard df-cut semantics, so identical
     documents still score 1.0; pairs similar ONLY through ultra-common
-    grams drop out, which is the point).  The oracle-gated entry query runs
-    with ``max_df=None`` so the result is exactly the brute-force Jaccard
-    (duck_ngram_jaccard_sql).
+    grams drop out, which is the point).  The oracle-gated entry queries
+    run with ``max_df=None`` so the result is exactly brute-force Jaccard.
     """
     from pyspark.sql import Window
 
-    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.col(text_col).alias("__text"))
     if max_df is None:
         # sizes are array sizes — no extra shuffle
         inv = (
-            ids.select("doc_id", char_ngrams(F.col("__text"), n).alias("gs"))
-            .withColumn("sz", F.size("gs").cast("long"))
+            grams.withColumn("sz", F.size("gs").cast("long"))
             .filter(F.col("sz") > 0)
             .select("doc_id", "sz", F.explode("gs").alias("gram"))
         )
     else:
-        inv = ids.select(
-            "doc_id", F.explode(char_ngrams(F.col("__text"), n)).alias("gram")
-        )
+        inv = grams.select("doc_id", F.explode("gs").alias("gram"))
         wdf = Window.partitionBy("gram")
         inv = inv.withColumn("__df", F.count(F.lit(1)).over(wdf)).filter(
             F.col("__df") <= max_df
@@ -364,6 +356,45 @@ def ngram_jaccard_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard near-dup pairs (inverted index; see
+    :func:`_jaccard_pairs_from_grams` for semantics and scale notes)."""
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        char_ngrams(F.col(text_col), n).alias("gs"),
+    )
+    return _jaccard_pairs_from_grams(grams, threshold, max_df)
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard near-dup pairs — the same similarity
+    MinHash-LSH estimates (:func:`minhash_near_dups`), computed EXACTLY via
+    the inverted index.  This is the deterministic pair stage the certified
+    cleaning pipeline uses: LSH is probabilistic (a >=threshold pair missed
+    by all bands with P ~ (1-j^r)^b — negligible at j ~ 0.9, but real for
+    organic pairs sitting near the threshold), so an oracle-gated
+    composition needs the exact form.  At 10^10 docs the production run
+    swaps in LSH (``pairs="lsh"`` in :func:`clean_pipeline`) or bounds the
+    posting join with ``max_df``."""
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingles(F.col(text_col), k).alias("gs"),
+    )
+    return _jaccard_pairs_from_grams(grams, threshold, max_df)
 
 
 def duck_ngram_jaccard_sql(
@@ -475,7 +506,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-    max_iter: int = 50,
+    max_iter: int = 50, check_every: int = 2,
 ) -> DataFrame:
     """Exact connected components over an undirected pair graph via
     alternating large-star / small-star (Kiveris et al., "Connected
@@ -484,12 +515,18 @@ def connected_components(
 
     Near-dup pair lists are the input this exists for: pair output alone
     cannot drive removal (A~B, B~C must collapse to ONE keeper, not two).
-    Each iteration is localCheckpoint-truncated so the plan stays flat —
-    iterative self-joins otherwise double the lineage every round.
-    Convergence is detected on (count, xxhash64-sum) of the canonical edge
-    set.  Returns one row per node that appears in ``pairs``:
-    (node, component) where component = min doc_id of the cluster.
+    Convergence runs ``check_every`` star-pair rounds per driver
+    round-trip: the fixpoint test is monotone-safe (star rounds are
+    idempotent at the fixpoint, so an overshoot round is a no-op) and at
+    10^9-edge graphs the per-round blocking collect is the fixed cost
+    worth batching.  Each executed block is localCheckpoint-truncated so
+    the plan stays flat — iterative self-joins otherwise double the
+    lineage every round.  Convergence is detected on (count, xxhash64-sum)
+    of the canonical edge set.  Returns one row per node that appears in
+    ``pairs``: (node, component) where component = min doc_id of the
+    cluster.
     """
+    check_every = max(1, check_every)
     e = (
         pairs.select(F.col(a_col).cast("long").alias("u"),
                      F.col(b_col).cast("long").alias("v"))
@@ -497,8 +534,12 @@ def connected_components(
         .distinct()
     )
     prev: tuple | None = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    converged = False
+    for it in range(max_iter):
+        e = _small_star(_large_star(e))
+        if (it + 1) % check_every and it + 1 < max_iter:
+            continue  # defer materialization: next round builds on the plan
+        e = e.localCheckpoint(eager=True)
         got = e.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal accumulator: full-range int64 hashes overflow a long
@@ -507,9 +548,10 @@ def connected_components(
         ).first()
         sig = (got["n"], got["h"])
         if sig == prev:
+            converged = True
             break
         prev = sig
-    else:
+    if not converged:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     # fixpoint edge set is a star forest: (node, root) with root < node
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -541,6 +583,111 @@ def drop_near_dups(
         F.col("doc_id") != F.col("component")
     )
     return docs.join(losers.select("doc_id"), "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# the FULL cleaning pipeline a training-data run executes, as one statement:
+# quality gate -> exact dedup -> near-dup cluster collapse -> drop losers
+# ---------------------------------------------------------------------------
+
+
+def clean_pipeline(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    threshold: float = 0.5,
+    k: int = 3,
+    pairs: str = "exact",
+    max_df: int | None = None,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Gate -> exact dedup -> near-dup collapse -> drop, composed.
+
+    Stages (each individually oracle-gated elsewhere; the composition is
+    certified end-to-end by the ``crawl_clean_shards`` entry query):
+
+    1. **quality gate** — ``token_count(text) >= min_tokens``; a codegen'd
+       scan filter, so junk rows never reach a shuffle.
+    2. **exact dedup** — keeper = min ``id_col`` per ``md5(text)``; one
+       uniform digest shuffle.  Exact copies are removed here so the
+       quadratic pair stage never sees them.
+    3. **near-dup pair stage** — ``pairs="exact"`` (default): inverted-index
+       k-word-shingle Jaccard (:func:`shingle_jaccard_pairs`), deterministic
+       and oracle-matchable; ``pairs="lsh"``: MinHash-LSH
+       (:func:`minhash_near_dups`), the probabilistic 10^10-doc scale path —
+       identical composition, candidate generation swapped.
+    4. **cluster collapse** — connected components over the pair graph
+       (A~B, B~C must yield ONE keeper); losers = nodes that are not their
+       cluster's min id.
+    5. **drop** — left-anti join of the exact-dedup survivors against the
+       losers.
+
+    Returns the surviving rows with all input columns.  Every stage's
+    shuffle is keyed uniformly (digest / gram / node id); nothing is
+    driver-side beyond connected_components' 2-tuple convergence probe.
+    """
+    from crawler_to_md_spark.operators.textstats import token_count
+
+    t = F.col(text_col)
+    gated = docs.filter(token_count(t) >= min_tokens).withColumn(
+        "__digest", F.md5(t)
+    )
+    keepers = gated.groupBy("__digest").agg(
+        F.min(id_col).alias(id_col)
+    )
+    survivors = gated.join(keepers, ["__digest", id_col]).drop("__digest")
+
+    pair_input = survivors.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    )
+    if pairs == "exact":
+        nd = shingle_jaccard_pairs(
+            pair_input, text_col=text_col, k=k,
+            threshold=threshold, max_df=max_df,
+        )
+    elif pairs == "lsh":
+        nd = minhash_near_dups(
+            pair_input, text_col=text_col,
+            threshold=threshold, max_bucket=max_bucket,
+        )
+    else:
+        raise ValueError(f"pairs must be 'exact' or 'lsh', got {pairs!r}")
+    losers = connected_components(nd).filter(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias(id_col))
+    return survivors.join(losers, id_col, "left_anti")
+
+
+def clean_shards(
+    docs: DataFrame,
+    *,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_cols: list[str] | None = None,
+    min_tokens: int = 10,
+    threshold: float = 0.5,
+    k: int = 3,
+    pairs: str = "exact",
+    max_df: int | None = None,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """:func:`clean_pipeline` -> token-budget shard packing: the one-shot
+    crawl-to-training-shards cleaning statement (gate, exact dedup, near-dup
+    collapse, drop, pack).  Returns (order_cols..., n_tokens, shard_id,
+    shard_offset) over the CLEANED corpus."""
+    from crawler_to_md_spark.operators.packing import pack_shards
+
+    cleaned = clean_pipeline(
+        docs, text_col=text_col, id_col=id_col, min_tokens=min_tokens,
+        threshold=threshold, k=k, pairs=pairs, max_df=max_df,
+    )
+    return pack_shards(
+        cleaned, budget=budget, text_col=text_col,
+        order_cols=order_cols or [id_col], approx_rows=approx_rows,
+    )
 
 
 def duck_near_dup_components_sql(

@@ -14,9 +14,11 @@ Spark plans an empty-partition-spec window as a SINGLE-task sort, which
 dies at 10^10 documents (same failure mode as seq.py's dense ordinals).
 ``with_running_total`` reuses seq.py's two-phase shape:
 
-  1. range-repartition + in-partition sort by the order columns,
-  2. per-partition running ``sum`` window (partitioned by
-     ``spark_partition_id`` — many independent groups) plus a broadcast
+  1. range-repartition + in-partition sort by the order columns, frozen
+     by an eager checkpoint,
+  2. a shuffle-free per-physical-partition cumulative sum (one narrow
+     Arrow ``mapInPandas`` pass — a ``PARTITION BY spark_partition_id``
+     window would re-Exchange the whole table) seeded with a broadcast
      map of per-partition weight totals' prefix offsets.
 
 At 100 TB the only driver-side state is one number per shuffle partition.
@@ -59,13 +61,17 @@ def with_running_total(
         part = df.repartitionByRange(num_partitions, *cols)
     else:
         part = df.repartitionByRange(*cols)
-    # eager checkpoint BEFORE the totals job: RangePartitioner's boundary
-    # sampling is seeded with the shuffle RDD id (new per execution), so
-    # without freezing the layout the per-partition totals would describe a
-    # DIFFERENT partitioning than the one the window pass runs on — the
-    # same latent bug fixed in seq.py (see its module docstring)
-    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
-        eager=True)
+    # sort IN the range shuffle's partitions, then eager-checkpoint BEFORE
+    # the totals job: RangePartitioner's boundary sampling is seeded with
+    # the shuffle RDD id (new per execution), so without freezing the
+    # layout the per-partition totals would describe a DIFFERENT
+    # partitioning than the one the cumsum pass runs on — the same latent
+    # bug fixed in seq.py (see its module docstring)
+    part = (
+        part.sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
     totals = part.groupBy("__pid").agg(
         F.sum(weight_col).alias("__w")).collect()
@@ -75,24 +81,34 @@ def with_running_total(
         offsets[row["__pid"]] = acc
         acc += int(row["__w"] or 0)
 
-    offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
-        ),
-        F.col("__pid"),
-    ) if offsets else F.lit(0)
+    # phase 2 is SHUFFLE-FREE: the checkpointed rows are already
+    # physically partitioned AND sorted, but a
+    # ``sum() OVER (PARTITION BY __pid ORDER BY ...)`` window would
+    # re-Exchange the whole table on __pid (Spark cannot prove rows are
+    # clustered by physical partition — the exact overhead seq.py's
+    # rewrite removed).  One narrow Arrow pass accumulates the running
+    # sum per physical partition instead, seeded with that partition's
+    # broadcast prefix offset.
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        part.withColumn(
-            total_col, (running.over(w) + offset_expr).cast("long")
-        )
-        .drop("__pid")
-    )
+    base_fields = [f for f in part.schema.fields if f.name != "__pid"]
+    out_schema = StructType(base_fields + [StructField(total_col, LongType())])
+    out_cols = [f.name for f in base_fields]
+
+    def cumsum_partition(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if acc is None:
+                acc = int(offsets.get(int(pdf["__pid"].iloc[0]), 0))
+            run = pdf[weight_col].fillna(0).astype("int64").cumsum() + acc
+            acc = int(run.iloc[-1])
+            out = pdf[out_cols].copy()
+            out[total_col] = run
+            yield out
+
+    return part.mapInPandas(cumsum_partition, schema=out_schema)
 
 
 def pack_shards(

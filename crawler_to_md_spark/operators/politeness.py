@@ -136,14 +136,42 @@ def robots_allowed(url: Column, disallow: Column) -> Column:
     ).otherwise(~F.exists(disallow, lambda p: path.startswith(p)))
 
 
-def robots_filter(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
+# Below this many covered hosts the rules table is broadcast (a domain- or
+# site-scoped crawl has tens of hosts; even 10^6 rules rows is ~100 MB) —
+# the gate then adds no shuffle.  Above it — a domain-UNBOUNDED web crawl
+# sees 10^7-10^8 distinct hosts — the broadcast would be tens of GB per
+# executor, so the gate degrades to a shuffled left join on ``host``
+# (mirrors schedule.BROADCAST_SEEN_MAX on the URL-seen anti-join).
+ROBOTS_BROADCAST_MAX = 1_000_000
+
+
+def robots_filter(
+    batch: DataFrame,
+    robots: DataFrame | None,
+    n_hosts_hint: int | None = None,
+) -> DataFrame:
     """Gate a frontier batch on a per-host rules table
-    ``(host string, disallow array<string>)``.  The rules table is tiny
-    relative to the frontier (one row per host) — broadcast it so the gate
-    adds no shuffle."""
+    ``(host string, disallow array<string>)``.
+
+    ``n_hosts_hint`` is a join-strategy hint (the crawl engine supplies its
+    covered-host counter): at or below ``ROBOTS_BROADCAST_MAX`` the rules
+    side is broadcast, above it the join shuffles both sides on ``host`` —
+    host-keyed, so the hot-host skew of the *frontier* side is the same
+    skew the politeness window already bounds, and AQE's skew-join split
+    applies.  ``None`` (unknown cardinality, e.g. a manually-supplied
+    table) keeps the broadcast, matching the reference's domain-scoped
+    deployments."""
     if robots is None:
         return batch
-    joined = batch.join(
-        F.broadcast(robots.select("host", "disallow")), "host", "left"
-    )
+    rules = robots.select("host", "disallow")
+    if n_hosts_hint is None or n_hosts_hint <= ROBOTS_BROADCAST_MAX:
+        rules = F.broadcast(rules)
+    else:
+        # pin shuffled-hash with the one-row-per-host rules side as the
+        # build side: above the threshold the stats-based planner would
+        # normally shuffle anyway, but checkpointed rules frames can carry
+        # unknown/underestimated sizes and must never be re-promoted to a
+        # tens-of-GB broadcast
+        rules = rules.hint("shuffle_hash")
+    joined = batch.join(rules, "host", "left")
     return joined.filter(robots_allowed(F.col("url"), F.col("disallow"))).drop("disallow")

@@ -60,8 +60,10 @@ def validate_candidates(
     include_patterns: list[str] | None = None,
     exclude_patterns: list[str] | None = None,
     robots: DataFrame | None = None,
+    robots_n_hosts: int | None = None,
 ) -> DataFrame:
-    """Canonicalize + P1-P5 validation + robots gate."""
+    """Canonicalize + P1-P5 validation + robots gate (``robots_n_hosts``
+    is the gate's broadcast-vs-shuffle hint, see politeness.robots_filter)."""
     canon = urlkit.with_canonical_url(resolved, "resolved", "url")
     # This filter MUST evaluate here, above the staged url projection —
     # if the optimizer's PushDownPredicates rule were active it would
@@ -80,7 +82,8 @@ def validate_candidates(
         )
     )
     return robots_filter(
-        valid.withColumn("host", urlkit.url_host(F.col("url"))), robots
+        valid.withColumn("host", urlkit.url_host(F.col("url"))),
+        robots, robots_n_hosts,
     )
 
 

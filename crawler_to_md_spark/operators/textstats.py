@@ -110,6 +110,11 @@ def shingles(text: Column, k: int = 3) -> Column:
     arrays (``zip_with`` pads the shorter side with null and ``concat_ws``
     skips nulls, so the trailing partial windows reproduce the reference
     ``slice`` behavior for T < k before the length cut removes the rest)."""
+    if k <= 1:
+        # degenerate window: 1-word shingles are just the distinct tokens
+        # (the shifted-suffix zip below would index shifts[0] of an empty
+        # list); matches the transform/slice form for k=1 exactly
+        return F.array_distinct(tokens(text))
     toks = tokens(text)
     n = F.size(tokens(text))
     shifts = [

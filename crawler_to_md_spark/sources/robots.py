@@ -130,6 +130,7 @@ def fetch_robots(
     agent: str = "*",
     scheme: str = "https",
     host_col: str = "host",
+    emit_all: bool = False,
 ) -> DataFrame:
     """Fetch + parse ``robots.txt`` for every distinct host in ``hosts``.
 
@@ -138,7 +139,11 @@ def fetch_robots(
     the same task (no second pass, no driver round-trip).  Hosts whose
     robots.txt is unreachable or non-200 produce NO output row — absent
     from the rules table means fully allowed (robots_allowed NULL
-    semantics).  The result feeds ``politeness.robots_filter`` /
+    semantics).  With ``emit_all=True`` those hosts instead produce a
+    ``disallow IS NULL`` row (same allowed semantics) so the result doubles
+    as a COVERAGE table: one row per attempted host, the shape the crawl
+    engine's anti-join coverage tracking needs (store/schemas.py
+    ROBOTS_SCHEMA).  The result feeds ``politeness.robots_filter`` /
     ``CrawlEngine(robots=...)`` directly.
     """
     pol = policy or FetchPolicy()
@@ -147,20 +152,23 @@ def fetch_robots(
         transport = transport_factory()   # one session per partition/task
         for pdf in batches:
             out_host: list[str] = []
-            out_rules: list[list[str]] = []
+            out_rules: list[list[str] | None] = []
             for host in pdf[host_col]:
                 url = f"{scheme}://{host}/robots.txt"
+                rules: list[str] | None = None
                 try:
                     status, _ct, body, err = transport(
                         url, pol.timeout, pol.proxy, True)
-                except Exception:     # connection failure = no rules row
+                except Exception:     # connection failure = no rules
+                    status, body, err = None, None, None
+                if err is None and status == 200 and body is not None:
+                    text = body.decode("utf-8", errors="replace") if isinstance(
+                        body, (bytes, bytearray)) else str(body)
+                    rules = parse_robots(text, agent)
+                if rules is None and not emit_all:
                     continue
-                if err is not None or status != 200 or body is None:
-                    continue
-                text = body.decode("utf-8", errors="replace") if isinstance(
-                    body, (bytes, bytearray)) else str(body)
                 out_host.append(str(host))
-                out_rules.append(parse_robots(text, agent))
+                out_rules.append(rules)
             # explicit object dtype: an all-miss batch would otherwise
             # produce empty float64 columns Arrow cannot cast to
             # list<string>

@@ -53,10 +53,13 @@ def sitemap_seed_frame(docs: DataFrame, xml_col: str = "xml",
     position when expanded from a sitemap index).  seed_seq interleaves
     (file_seq, position-in-file) so the global order matches a sequential
     read of the index, exactly what CrawlEngine.seed's first-occurrence
-    dedup expects.  The parse is a native-free pandas-less path: one
-    ``transform``-compatible UDF call per file row, exploded positionally.
+    dedup expects.  The parse is an Arrow-batched pandas UDF (the repo's
+    UDF discipline, SURVEY §7): a web-scale sitemap-INDEX expansion makes
+    file rows the data — 50k-URL files amortize the call, but the per-row
+    bridge must still be vectorized, never row-at-a-time ``F.udf``.
     """
-    parse = F.udf(lambda s: parse_sitemap_locs(s), "array<string>")
+    parse = F.pandas_udf(
+        lambda s: s.map(parse_sitemap_locs), "array<string>")
     return (
         docs.select(F.col(order_col).cast("long").alias("__f"),
                     parse(F.col(xml_col)).alias("__locs"))

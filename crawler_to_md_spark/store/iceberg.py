@@ -172,6 +172,9 @@ class IcebergStore:
     def lineage(self) -> dict[str, Any]:
         return self.manifest["lineage"]
 
+    def has_table(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qualified(table))
+
     # -- reads --------------------------------------------------------------
 
     def read(self, table: str) -> DataFrame:

@@ -71,6 +71,19 @@ DOCS_SCHEMA = StructType(
     ]
 )
 
+# robots coverage table: one row per host whose robots.txt has been fetched
+# (or supplied manually).  ``disallow IS NULL`` = covered but no reachable
+# rules (= fully allowed, politeness.robots_allowed NULL semantics).  This
+# table IS the engine's covered-host set — new hosts are found with an
+# anti-join against it, never a driver-side set (a domain-unbounded crawl
+# sees 10^7-10^8 hosts).
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("disallow", ArrayType(StringType())),
+    ]
+)
+
 METRICS_SCHEMA = StructType(
     [
         StructField("batch_id", LongType(), False),

@@ -171,6 +171,11 @@ class SnapshotStore:
     def lineage(self) -> dict[str, Any]:
         return self.manifest.get("lineage", {})
 
+    def has_table(self, table: str) -> bool:
+        """True when the current snapshot carries the table (committed at
+        least once) — the guard for optional tables like ``robots``."""
+        return self.exists() and table in self.manifest["tables"]
+
     def _entry_paths(self, entry) -> list[str]:
         if isinstance(entry, str):
             return [os.path.join(self.dir, entry)]

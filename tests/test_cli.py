@@ -255,3 +255,45 @@ def test_training_shards_export(spark, tmp_path, corpus_path):
         assert r["shard_offset"] == stream % 64
         stream += r["n_tokens"]
     assert rows[-1]["shard_id"] > 0
+
+
+def test_clean_training_shards_export(spark, tmp_path, corpus_path):
+    """--clean --training-shards-dir runs the FULL cleaning pipeline
+    (quality gate -> exact dedup -> LSH near-dup collapse -> drop) before
+    packing: the output is a subset of the unclean export, carries no two
+    identical texts, every page clears the token gate, and the shard
+    stream arithmetic still holds over the cleaned order."""
+    import glob
+
+    base = str(tmp_path / "tshards_base")
+    rc, out, cache = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path,
+        "--training-shards-dir", base, "--token-budget", "64",
+        name="tsbase",
+    )
+    assert rc == 0
+    shards = str(tmp_path / "tshards_clean")
+    rc, out, cache = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path,
+        "--training-shards-dir", shards, "--token-budget", "64",
+        "--clean", "--clean-min-tokens", "5",
+        name="tsclean",
+    )
+    assert rc == 0
+    assert glob.glob(os.path.join(shards, "file_id=*"))
+    base_rows = {r["url"]: r for r in spark.read.parquet(base).collect()}
+    rows = sorted(spark.read.parquet(shards).collect(),
+                  key=lambda r: r["url"])
+    assert rows and set(r["url"] for r in rows) <= set(base_rows)
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))          # exact dedup held
+    assert all(r["n_tokens"] >= 5 for r in rows)  # quality gate held
+    stream = 0
+    for r in rows:                                # url order, cleaned set
+        assert r["shard_id"] == stream // 64
+        assert r["shard_offset"] == stream % 64
+        stream += r["n_tokens"]

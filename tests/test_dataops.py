@@ -64,6 +64,22 @@ def test_fingerprint_stable_under_formatting(spark):
     assert fps[0] == fps[1] and fps[0].count("|") == 3
 
 
+def test_shingles_k1_is_distinct_tokens(spark):
+    # k=1 is reachable via fingerprint(text, k=1); the shifted-suffix zip
+    # has no shifts to index, so the degenerate case must short-circuit
+    df = spark.createDataFrame([(1, "a b a c"), (2, "solo")],
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", textstats.shingles(F.col("text"), k=1).alias("sh")
+        ).collect()
+    }
+    assert got == {1: ["a", "b", "c"], 2: ["solo"]}
+    fp = df.select(textstats.fingerprint(F.col("text"), k=1).alias("fp"))
+    assert all(r["fp"] for r in fp.collect())
+
+
 def test_lang_guess_english_dominates(docs):
     # driver documents are English-ish word soup with 'the'/'and' present
     guesses = textstats.text_stats(docs).groupBy("lang_guess").count().collect()

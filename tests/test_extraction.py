@@ -13,11 +13,31 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from crawler_to_md_spark.functions import extraction
 from crawler_to_md_spark.functions.extraction import (
+    HAVE_LXML,
     extract_document,
     make_extract_udf,
     spans_to_html,
 )
+
+
+@pytest.fixture(
+    params=[
+        "stdlib",
+        pytest.param("lxml", marks=pytest.mark.skipif(
+            not HAVE_LXML, reason="lxml not installed (sandbox)")),
+    ],
+    autouse=True,
+)
+def html_parser(request, monkeypatch):
+    """Run EVERY test in this module under both parse engines: the lxml
+    fast path (reference knob R2, 3-10x on the 100 TB cost center) must
+    produce byte-identical spans/links/titles.  In the sandbox the lxml
+    leg skips; a deployment with lxml installed gets the full parity
+    suite for free."""
+    monkeypatch.setattr(extraction, "DEFAULT_PARSER", request.param)
+    return request.param
 
 
 def _kinds(spans):

@@ -377,14 +377,36 @@ class TestPerWaveAutoRobots:
         # an allowed discovered host crawled normally
         assert docs.filter(
             F.col("url").startswith("https://h2.")).count() > 0
-        # rules table holds exactly the one blocking row (404/unreachable
-        # hosts produce no row = allowed) ...
-        rules = {r["host"]: list(r["disallow"]) for r in eng.robots.collect()}
-        assert rules == {"h1.example.com": ["/"]}
-        # ... and every frontier host was covered (fetched at most once)
+        # the rules table is also the COVERAGE table: the one blocking row
+        # carries rules; every other attempted host has a disallow-NULL
+        # row (404/unreachable = fully allowed) ...
+        rules = {r["host"]: (list(r["disallow"])
+                             if r["disallow"] is not None else None)
+                 for r in eng.robots.collect()}
+        assert rules["h1.example.com"] == ["/"]
+        assert all(v is None for h, v in rules.items()
+                   if h != "h1.example.com")
+        # ... and every frontier host was covered (fetched at most once) —
+        # coverage membership IS the table, no driver-side host set
         frontier_hosts = {
             r["host"] for r in links.select("host").distinct().collect()}
-        assert eng._robots_known_hosts() >= frontier_hosts
+        assert set(rules) >= frontier_hosts
+        # coverage survives restarts: it was committed with the waves, and
+        # a fresh engine on the same warehouse resumes WITHOUT re-fetching
+        # (its transport serves no bodies — a re-fetch would clobber the
+        # h1 rules with a coverage-only row)
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine  # noqa: F811
+        eng2 = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            config=CrawlConfig(scope_domain="example.com", max_retries=2),
+            robots_transport_factory=_fake_transport_factory({}),
+        )
+        eng2.run(resume=True)
+        rules2 = {r["host"]: (list(r["disallow"])
+                              if r["disallow"] is not None else None)
+                  for r in eng2.robots.collect()}
+        assert rules2["h1.example.com"] == ["/"]
+        assert set(rules2) >= frontier_hosts
 
     def test_dequeue_gate_blocks_pre_rules_inserts(self, spark, tmp_path):
         """A manual rules table gates URLs ALREADY IN the frontier: a
@@ -427,5 +449,92 @@ class TestPerWaveAutoRobots:
             {"a.example.com", "b.example.com"}) == 0
         assert eng._fetch_robots_for_hosts(
             {"b.example.com", "c.example.com", None, ""}) == 1
-        rules = {r["host"]: list(r["disallow"]) for r in eng.robots.collect()}
-        assert rules == {"a.example.com": ["/x/"]}
+        # the rules table doubles as the COVERAGE table: every attempted
+        # host has a row; unreachable hosts carry disallow NULL (= fully
+        # allowed) — membership is what makes the anti-join incremental
+        rules = {r["host"]: (list(r["disallow"]) if r["disallow"] is not None
+                             else None)
+                 for r in eng.robots.collect()}
+        assert rules == {"a.example.com": ["/x/"],
+                         "b.example.com": None, "c.example.com": None}
+
+
+class TestRobotsWebScale:
+    """The rules gate must survive a domain-UNBOUNDED crawl: 10^7-10^8
+    distinct hosts means the rules table cannot be broadcast and covered
+    hosts cannot live in a driver-side set (VERDICT r03 'What's wrong #1').
+    robots_filter is threshold-gated like schedule.BROADCAST_SEEN_MAX."""
+
+    def test_gate_broadcasts_below_threshold(self, spark):
+        from crawler_to_md_spark.operators.politeness import robots_filter
+
+        rules = spark.createDataFrame(
+            [("a.example.com", ["/x/"])], "host string, disallow array<string>")
+        batch = spark.createDataFrame(
+            [("https://a.example.com/ok", "a.example.com")],
+            "url string, host string")
+        plan = robots_filter(batch, rules, n_hosts_hint=10)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+
+    def test_gate_shuffles_above_threshold(self, spark):
+        from crawler_to_md_spark.operators import politeness
+
+        # 10^5-host synthetic rules table; hint above the (real) threshold
+        # must produce a shuffled join — NO BroadcastExchange anywhere in
+        # the physical plan, host-keyed exchanges on both sides instead
+        rules = spark.range(100_000).select(
+            F.concat(F.lit("h"), F.col("id"), F.lit(".example.com"))
+            .alias("host"),
+            F.array(F.lit("/private/")).alias("disallow"),
+        )
+        batch = spark.range(1000).select(
+            F.concat(F.lit("https://h"), F.col("id"),
+                     F.lit(".example.com/private/page")).alias("url"),
+            F.concat(F.lit("h"), F.col("id"), F.lit(".example.com"))
+            .alias("host"),
+        )
+        gated = politeness.robots_filter(
+            batch, rules,
+            n_hosts_hint=politeness.ROBOTS_BROADCAST_MAX + 1)
+        plan = gated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        # semantics identical to the broadcast form: all 1000 are disallowed
+        assert gated.count() == 0
+        allowed = spark.range(10).select(
+            F.concat(F.lit("https://h"), F.col("id"),
+                     F.lit(".example.com/ok")).alias("url"),
+            F.concat(F.lit("h"), F.col("id"), F.lit(".example.com"))
+            .alias("host"),
+        )
+        assert politeness.robots_filter(
+            allowed, rules,
+            n_hosts_hint=politeness.ROBOTS_BROADCAST_MAX + 1).count() == 10
+
+    def test_wave_over_shuffled_gate(self, spark, tmp_path, monkeypatch):
+        """A full crawl whose covered-host count exceeds the broadcast
+        threshold still gates correctly — the engine's counter drives the
+        gate into the shuffled-join regime (threshold monkeypatched down;
+        the strategy switch is what's under test, not 10^6 real rows)."""
+        from crawler_to_md_spark.operators import politeness
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+        from crawler_to_md_spark.sources import corpus
+
+        monkeypatch.setattr(politeness, "ROBOTS_BROADCAST_MAX", 2)
+        bodies = {"https://h1.example.com/robots.txt":
+                  (200, b"User-agent: *\nDisallow: /\n")}
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=2),
+            robots_transport_factory=_fake_transport_factory(bodies),
+        )
+        eng.seed([corpus.seed_url()])
+        eng.run_to_completion()
+        assert (eng._robots_host_count() or 0) > politeness.ROBOTS_BROADCAST_MAX
+        links = eng.links()
+        h1 = links.filter(F.col("host") == "h1.example.com").collect()
+        assert len(h1) > 0 and not any(r["visited"] for r in h1)
+        assert eng.docs().filter(
+            F.col("url").startswith("https://h2.")).count() > 0

@@ -114,3 +114,173 @@ def test_misconfigured_catalog_class_not_loadable_is_unavailable(spark,
                        backend="iceberg")
     finally:
         spark.conf.unset("spark.sql.catalog.probe")
+
+
+# ---------------------------------------------------------------------------
+# commit/rollback CONTRACT tests: a recording fake session pins the exact
+# statements a BucketedUpdate wave commit and a rollback would issue, so the
+# (jar-less, never-executed-here) Iceberg path cannot rot silently.
+# ---------------------------------------------------------------------------
+
+
+class _FakeWriter:
+    def __init__(self, log, q):
+        self._log, self._q = log, q
+
+    def using(self, fmt):
+        self._log.append(f"WRITETO {self._q} USING {fmt}")
+        return self
+
+    def create(self):
+        self._log.append(f"WRITETO {self._q} CREATE")
+
+    def append(self):
+        self._log.append(f"WRITETO {self._q} APPEND")
+
+    def overwritePartitions(self):
+        self._log.append(f"WRITETO {self._q} OVERWRITE_PARTITIONS")
+
+
+class _FakeDF:
+    def __init__(self, log, columns):
+        self._log = log
+        self.columns = list(columns)
+        self.schema = None
+
+    def createOrReplaceTempView(self, name):
+        self._log.append(f"TEMPVIEW {name}")
+
+    def writeTo(self, q):
+        return _FakeWriter(self._log, q)
+
+    def limit(self, n):
+        return self
+
+
+class _FakeCatalog:
+    def __init__(self, log, existing):
+        self._log, self._existing = log, existing
+
+    def tableExists(self, q):
+        return q in self._existing
+
+    def dropTempView(self, name):
+        self._log.append(f"DROPVIEW {name}")
+
+
+class _FakeSpark:
+    def __init__(self, existing=()):
+        self.log: list[str] = []
+        self.catalog = _FakeCatalog(self.log, set(existing))
+
+    def sql(self, q):
+        self.log.append(" ".join(q.split()))
+
+    def createDataFrame(self, rows, schema):
+        cols = (schema.fieldNames() if hasattr(schema, "fieldNames")
+                else [c.split()[0] for c in schema.split(",")])
+        return _FakeDF(self.log, cols)
+
+
+def _store(existing=()):
+    fake = _FakeSpark(existing)
+    store = IcebergStore(fake, "cat", namespace="crawl", retain=2,
+                         schemas=SCHEMAS, n_buckets=64, bucket_key="url")
+    return fake, store
+
+
+def test_commit_statement_sequence_for_bucketed_update():
+    from pyspark.sql.types import LongType
+    from crawler_to_md_spark.store.warehouse import BucketedUpdate, LiteralAppend
+
+    fake, store = _store()
+    links_df = _FakeDF(fake.log, ["url", "url_hash", "visited", "retry_count"])
+    metrics_schema = StructType([StructField("batch_id", LongType()),
+                                 StructField("dequeued", LongType())])
+    store.commit(
+        {"links": BucketedUpdate(links_df, dirty=[3, 7], n_buckets=64),
+         "metrics": LiteralAppend([(5, 10)], metrics_schema)},
+        batch_id=5,
+        lineage={"frontier_offset": 5},
+    )
+    log = fake.log
+
+    # namespace bootstrap ran at construction
+    assert log[0] == "CREATE NAMESPACE IF NOT EXISTS cat.crawl"
+    # links table created with the bucket partition transform that makes
+    # MERGE rewrite only the dirty buckets' files (O(touched) wave cost)
+    create = next(s for s in log if s.startswith("CREATE TABLE"))
+    assert create == (
+        "CREATE TABLE IF NOT EXISTS cat.crawl.links "
+        "(url string, visited boolean, retry_count int) USING iceberg "
+        "PARTITIONED BY (bucket(64, url))")
+    # the MERGE is the last-write-wins upsert on (url_hash, url)
+    merge = next(s for s in log if s.startswith("MERGE INTO"))
+    assert merge == (
+        "MERGE INTO cat.crawl.links t USING __merge_src_links_5 s "
+        "ON t.url_hash = s.url_hash AND t.url = s.url "
+        "WHEN MATCHED THEN UPDATE SET t.visited = s.visited, "
+        "t.retry_count = s.retry_count "
+        "WHEN NOT MATCHED THEN INSERT (url, url_hash, visited, retry_count) "
+        "VALUES (s.url, s.url_hash, s.visited, s.retry_count)")
+    # source view registered before the MERGE, dropped after
+    assert log.index("TEMPVIEW __merge_src_links_5") < log.index(merge)
+    assert log.index("DROPVIEW __merge_src_links_5") > log.index(merge)
+    # LiteralAppend becomes create-if-missing + append
+    assert "WRITETO cat.crawl.metrics USING iceberg" in log
+    assert "WRITETO cat.crawl.metrics APPEND" in log
+    # lineage row written LAST among table writes — the crash-semantics
+    # contract: a crash before it leaves the previous lineage authoritative
+    lineage_writes = [i for i, s in enumerate(log)
+                     if s.startswith("WRITETO cat.crawl.lineage")]
+    table_writes = [i for i, s in enumerate(log)
+                    if s.startswith(("MERGE", "WRITETO cat.crawl.metrics"))]
+    assert lineage_writes and max(table_writes) < min(lineage_writes)
+    # retention: batch 5 - retain 2 = keep_after 3
+    assert ("DELETE FROM cat.crawl.lineage WHERE batch_id < 3") in log
+
+
+def test_commit_skips_create_when_tables_exist():
+    from crawler_to_md_spark.store.warehouse import BucketedUpdate
+
+    fake, store = _store(existing={"cat.crawl.links", "cat.crawl.lineage"})
+    links_df = _FakeDF(fake.log, ["url", "visited", "retry_count"])
+    store.commit({"links": BucketedUpdate(links_df, dirty=[0], n_buckets=64)},
+                 batch_id=1, lineage={})
+    assert not any(s.startswith("CREATE TABLE") for s in fake.log)
+    # no url_hash column -> MERGE keys on url alone
+    merge = next(s for s in fake.log if s.startswith("MERGE INTO"))
+    assert " ON t.url = s.url " in merge
+    # existing lineage table -> append, never create
+    assert "WRITETO cat.crawl.lineage APPEND" in fake.log
+    assert "WRITETO cat.crawl.lineage CREATE" not in fake.log
+
+
+def test_rollback_statements(monkeypatch):
+    fake, store = _store(existing={"cat.crawl.links"})
+    monkeypatch.setattr(
+        IcebergStore, "manifest",
+        property(lambda self: {"batch_id": 9, "lineage": {}}))
+    store.rollback()
+    assert "DELETE FROM cat.crawl.lineage WHERE batch_id = 9" in fake.log
+    call = next(s for s in fake.log if s.startswith("CALL"))
+    # previous snapshot = second-newest history row of the TABLE itself
+    assert call == (
+        "CALL cat.system.rollback_to_snapshot('crawl.links', "
+        "(SELECT snapshot_id FROM cat.crawl.links.history "
+        "ORDER BY made_current_at DESC LIMIT 1 OFFSET 1))")
+
+
+def test_commit_runs_extra_tasks_before_table_writes():
+    from crawler_to_md_spark.store.warehouse import BucketedUpdate
+
+    fake, store = _store(existing={"cat.crawl.links", "cat.crawl.lineage"})
+    links_df = _FakeDF(fake.log, ["url", "visited", "retry_count"])
+    order = []
+    store.commit(
+        {"links": BucketedUpdate(links_df, dirty=[0], n_buckets=64)},
+        batch_id=1, lineage={},
+        extra_tasks=[lambda: order.append(len(fake.log))])
+    # the bloom-update analog runs before any table statement of this commit
+    n_before = order[0]
+    assert not any(s.startswith("MERGE") for s in fake.log[:n_before])
