@@ -500,6 +500,72 @@ def _q_stream_ingest(spark, sf_dir):
     return out
 
 
+# streaming near-dup ingest: synthetic CLIQUE near-dup families, built
+# arithmetically so the greedy online semantics coincide exactly with the
+# batch closure's one-keeper-per-cluster (see StreamingCorpusIngest.__init__
+# for the clique-vs-chain discussion) and the oracle is pure SQL
+NEAR_FAMS = 125          # doc_id % NEAR_FAMS = near-dup family (clique)
+NEAR_BASE_TOKENS = 60    # shared family base; unique 1-token suffix per doc
+_NEAR_INGEST_RESULTS: dict[str, DataFrame] = {}
+
+
+def _q_stream_near_ingest(spark, sf_dir):
+    """Streaming ingestion with cross-batch NEAR-dup dedup
+    (streaming/ingest.py near_threshold): every doc is its family's
+    60-token base text plus a unique suffix token, so family members are
+    pairwise ~0.90-Jaccard near-dups (a clique) and cross-family pairs
+    share nothing.  Docs arrive in 3 epochs (doc_id % 3); committed docs
+    carry MinHash signatures, and an incoming doc is dropped when an LSH
+    band-neighbor verifies at exact shingle-Jaccard >= 0.5 against the
+    committed corpus (first-arrival wins) or against a smaller-url batch
+    sibling (neighbor domination).  On cliques that keeps EXACTLY one doc
+    per family: the min-url member of the family's earliest epoch — which
+    is what the SQL twin recomputes with one window."""
+    got = _NEAR_INGEST_RESULTS.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+    import tempfile
+
+    from crawler_to_md_spark.store.warehouse import SnapshotStore
+    from crawler_to_md_spark.streaming import frontier as sf
+    from crawler_to_md_spark.streaming import ingest as si
+
+    work = tempfile.mkdtemp(prefix="entry_near_ingest_")
+    arrivals = os.path.join(work, "arrivals")
+    os.makedirs(arrivals, exist_ok=True)
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    fam = F.pmod(F.col("doc_id"), F.lit(NEAR_FAMS)).cast("string")
+    base = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(NEAR_BASE_TOKENS)),
+            lambda i: F.concat(F.lit("w"), fam, F.lit("x"), i.cast("string")),
+        ),
+        " ",
+    )
+    docs = ids.select(
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("grp"),
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(base, F.lit(" u"),
+                 F.col("doc_id").cast("string")).alias("text"),
+    )
+    sf.write_candidate_arrivals(spark, docs, arrivals)
+    store = SnapshotStore(
+        spark, os.path.join(work, "wh"),
+        schemas={"corpus_docs": si.CORPUS_DOCS_SCHEMA})
+    ing = si.StreamingCorpusIngest(store, min_tokens=10, store_buckets=16,
+                                   near_threshold=0.5)
+    q = ing.start(
+        si.read_document_stream(spark, arrivals, max_files_per_trigger=1),
+        checkpoint_dir=os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    out = store.read("corpus_docs").select(
+        "url", "n_tokens", F.col("epoch").cast("long").alias("epoch"))
+    _NEAR_INGEST_RESULTS[sf_dir] = out
+    return out
+
+
 def _q_host_windows(spark, sf_dir):
     """ST2 batch form: the streaming politeness accounting
     (streaming/frontier.py host_request_windows — reference requests/min
@@ -688,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "stream_schedule": _q_stream_schedule,
         "stream_ingest": _q_stream_ingest,
+        "stream_near_ingest": _q_stream_near_ingest,
         "host_windows": _q_host_windows,
         "robots_gate": _q_robots_gate,
         "priority_schedule": _q_priority_schedule,
@@ -1037,6 +1104,33 @@ def oracle_sql() -> dict[str, str]:
             FROM firsts f
             JOIN gated d ON md5(d.text) = f.digest AND d.grp = f.epoch
             GROUP BY f.digest, f.epoch
+        """,
+        "stream_near_ingest": f"""
+            WITH near_docs AS (
+                SELECT doc_id % {NEAR_FAMS} AS fam,
+                       CAST(doc_id % 3 AS BIGINT) AS epoch,
+                       'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                       array_to_string(list_transform(
+                           range(1, {NEAR_BASE_TOKENS} + 1),
+                           i -> 'w' || CAST(doc_id % {NEAR_FAMS} AS VARCHAR)
+                                || 'x' || CAST(i AS VARCHAR)), ' ')
+                         || ' u' || CAST(doc_id AS VARCHAR) AS text
+                FROM documents
+            ),
+            near_gated AS (
+                SELECT fam, epoch, url,
+                       CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM near_docs
+                WHERE len(string_split(trim(text), ' ')) >= 10
+            ),
+            near_ranked AS (
+                SELECT fam, epoch, url, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY fam ORDER BY epoch, url) AS rn
+                FROM near_gated
+            )
+            SELECT url, n_tokens, epoch FROM near_ranked WHERE rn = 1
         """,
         "host_windows": """
             SELECT strftime(time_bucket(INTERVAL 1 minute, ts),

@@ -108,6 +108,38 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def band_structs(sig: F.Column) -> F.Column:
+    """LSH banding of a MinHash signature: array of BANDS
+    ``struct(band int, bh string)`` rows — ``bh`` is the md5 of the band's
+    ROWS_PER_BAND signature values.  Two documents are candidates iff they
+    share a (band, bh).  Shared by the batch pair-miner below and the
+    streaming ingest's cross-batch band join (streaming/ingest.py)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bh"),
+        ),
+    )
+
+
+def shingle_jaccard(text_a: F.Column, text_b: F.Column) -> F.Column:
+    """Exact k-word-shingle Jaccard of two text columns (rounded to 6
+    decimals, the repo-wide comparison grain)."""
+    sh_a, sh_b = shingles(text_a), shingles(text_b)
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.round(inter / union, 6)
+
+
 def minhash_near_dups(
     docs: DataFrame,
     text_col: str = "text",
@@ -125,25 +157,7 @@ def minhash_near_dups(
     # of every document's text — text is joined back below for the tiny
     # surviving candidate-pair set only (round-1 scale flaw fixed)
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1,
-                                        ROWS_PER_BAND),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
+        "doc_id", F.explode(band_structs(F.col("sig"))).alias("bb")
     ).select("doc_id", "bb.band", "bb.bh")
     # cap pathological buckets (boilerplate) to bound the quadratic join
     from pyspark.sql import Window
@@ -169,11 +183,9 @@ def minhash_near_dups(
             ids.select(F.col("doc_id").alias("doc_b"),
                        F.col(text_col).alias("text_b")), "doc_b")
     )
-    sh_a, sh_b = shingles(F.col("text_a")), shingles(F.col("text_b"))
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        pairs.withColumn(
+            "jaccard", shingle_jaccard(F.col("text_a"), F.col("text_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -264,6 +264,18 @@ class SnapshotStore:
                     return name, {"kind": "append", "segments": [rel]}
                 if isinstance(upd, LiteralAppend):
                     upd.write(os.path.join(self.dir, rel))
+                elif len(segments) >= self.compact_segments:
+                    # Spark-written append tables (robots coverage rows)
+                    # compact executor-side at the same threshold: old
+                    # segments + this append rewrite as ONE segment, so a
+                    # 10^5-wave crawl's rules table stays a bounded file
+                    # set; the replaced files age out with manifest
+                    # history (_gc), keeping rollback consistent
+                    old = upd.df.sparkSession.read.parquet(
+                        *[os.path.join(self.dir, s) for s in segments])
+                    old.unionByName(upd.df).write.mode("overwrite").parquet(
+                        os.path.join(self.dir, rel))
+                    return name, {"kind": "append", "segments": [rel]}
                 else:
                     upd.df.write.mode("overwrite").parquet(
                         os.path.join(self.dir, rel))

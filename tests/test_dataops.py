@@ -476,3 +476,25 @@ def test_running_total_scale_path_exact(spark):
     for i in sorted(range(n), key=lambda i: f"u{i}"):
         acc += (i * 31) % 97 + 1
         assert got[f"u{i}"] == acc
+
+
+def test_running_total_scale_path_is_shuffle_free(spark):
+    """Phase 2 of the distributed cumsum must ride the checkpointed layout:
+    no Exchange in the returned plan (the old PARTITION BY __pid window
+    re-shuffled the whole table), and values identical to a single-window
+    oracle."""
+    from crawler_to_md_spark.operators.packing import with_running_total
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w"))
+    out = with_running_total(df, "w", ["doc_id"])      # scale path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    got = {r["doc_id"]: r["running_total"]
+           for r in out.collect()}
+    acc, want = 0, {}
+    for i in range(5000):
+        acc += i % 7 + 1
+        want[i] = acc
+    assert got == want

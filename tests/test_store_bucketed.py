@@ -172,3 +172,29 @@ class TestAppendCompaction:
         st.rollback()
         after = st.read("metrics").count()
         assert (before, after) == (5, 4)
+
+    def test_spark_append_segments_compact_and_preserve_rows(self, spark,
+                                                             tmp_path):
+        """Spark-written AppendUpdate tables (the robots coverage table)
+        compact at the same threshold as LiteralAppend: old segments + the
+        new append rewrite as ONE segment with identical rows."""
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        from crawler_to_md_spark.store.warehouse import AppendUpdate
+
+        schema = StructType([StructField("host", StringType()),
+                             StructField("w", LongType())])
+        st = SnapshotStore(spark, str(tmp_path / "wh"),
+                           schemas={"robots": schema},
+                           compact_segments=4)
+        n = 9
+        for w in range(1, n + 1):
+            df = spark.createDataFrame([(f"h{w}.example.com", w)], schema)
+            st.commit({"robots": AppendUpdate(df)}, batch_id=w)
+        entry = st.manifest["tables"]["robots"]
+        assert entry["kind"] == "append"
+        assert len(entry["segments"]) <= 4            # bounded, not 9
+        rows = sorted((r["host"], r["w"])
+                      for r in st.read("robots").collect())
+        assert rows == [(f"h{w}.example.com", w) for w in range(1, n + 1)]

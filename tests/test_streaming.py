@@ -307,3 +307,128 @@ def test_stream_ingest_all_duplicate_batch_commits_lineage_only(spark,
     ing.process_batch(dup_only, 99)
     assert store.read("corpus_docs").count() == n_before
     assert store.lineage["ingest_epoch"] == 99     # epoch advanced anyway
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup ingestion (near_threshold)
+# ---------------------------------------------------------------------------
+
+_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango")
+
+
+def _mk_near_docs(spark):
+    # family 1: base + unique suffix per member (pairwise ~0.87 Jaccard,
+    # a CLIQUE), members across epochs 0/1/2 plus an in-batch sibling pair
+    # in epoch 0; family 2: a disjoint-vocabulary singleton; plus an exact
+    # dup of a family-1 member re-arriving later (exact path still first)
+    rows = [
+        (0, "https://h0.example.com/f1-b", _BASE + " one"),
+        (0, "https://h0.example.com/f1-a", _BASE + " two"),   # min url e0
+        (1, "https://h0.example.com/f1-c", _BASE + " three"),
+        (1, "https://h9.example.com/other",
+         "zulu yankee xray whiskey victor uniform sierra2 quebec2 papa2 "
+         "oscar2 november2 mike2 lima2 kilo2 india2 hotel2 golf2 foxtrot2"),
+        (2, "https://h0.example.com/f1-d", _BASE + " four"),
+        (2, "https://h0.example.com/f1-exact", _BASE + " one"),  # exact dup
+    ]
+    return spark.createDataFrame(rows, "grp int, url string, text string")
+
+
+def _run_near_ingest(spark, tmp_path):
+    from crawler_to_md_spark.streaming import ingest
+
+    in_dir = str(tmp_path / "near_in")
+    os.makedirs(in_dir, exist_ok=True)
+    frontier.write_candidate_arrivals(spark, _mk_near_docs(spark), in_dir)
+    store = SnapshotStore(
+        spark, str(tmp_path / "near_wh"),
+        schemas={"corpus_docs": ingest.CORPUS_DOCS_SCHEMA})
+    ing = ingest.StreamingCorpusIngest(store, min_tokens=3, store_buckets=8,
+                                       near_threshold=0.5)
+    q = ing.start(
+        ingest.read_document_stream(spark, in_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "near_ckpt"))
+    q.awaitTermination()
+    return store, ing
+
+
+def test_stream_near_ingest_keeps_one_per_clique(spark, tmp_path):
+    store, _ = _run_near_ingest(spark, tmp_path)
+    rows = {r["url"]: r for r in store.read("corpus_docs").collect()}
+    # family 1 collapsed to its earliest-epoch min-url member: the epoch-0
+    # in-batch sibling lost by url domination, epochs 1/2 lost to the
+    # committed corpus, the exact re-arrival lost to the digest anti-join
+    assert set(rows) == {"https://h0.example.com/f1-a",
+                         "https://h9.example.com/other"}
+    keeper = rows["https://h0.example.com/f1-a"]
+    assert keeper["epoch"] == 0
+    assert keeper["minhash"] is not None and len(keeper["minhash"]) > 0
+    assert store.lineage["counters"]["docs_ingested"] == 2
+
+
+def test_stream_near_ingest_replay_is_idempotent(spark, tmp_path):
+    store, ing = _run_near_ingest(spark, tmp_path)
+    before = sorted((r["digest"], r["url"], r["epoch"])
+                    for r in store.read("corpus_docs").collect())
+    batch_id_before = store.batch_id
+    replay = spark.createDataFrame(
+        [("https://h0.example.com/f1-zz", _BASE + " replayed")],
+        "url string, text string")
+    ing.process_batch(replay, 1)                    # epoch 1 already applied
+    assert store.batch_id == batch_id_before
+    after = sorted((r["digest"], r["url"], r["epoch"])
+                   for r in store.read("corpus_docs").collect())
+    assert after == before
+    # the same rows as a NEW epoch are near-dups of the keeper: lineage
+    # advances, corpus unchanged
+    ing.process_batch(replay, 50)
+    assert store.lineage["ingest_epoch"] == 50
+    assert sorted((r["digest"], r["url"], r["epoch"])
+                  for r in store.read("corpus_docs").collect()) == before
+
+
+def test_stream_near_ingest_chain_keeps_local_minima(spark, tmp_path):
+    """Documented greedy semantics on a CHAIN (A~B, B~C, A!~C): the stream
+    keeps the local minima (A and C when B has the largest url), where the
+    batch closure would keep A alone — the stated online/offline trade."""
+    from crawler_to_md_spark.operators import dedup
+    from crawler_to_md_spark.streaming import ingest
+
+    # chain construction compatible with LSH candidate recall: all three
+    # docs share a dominant 62-token core (so nearly all MinHash minima
+    # come from shared shingles and band collisions are near-certain);
+    # the 4-token unique suffixes place the EXACT Jaccards at
+    # J(A,B) = J(B,C) = 60/64 = .9375 and J(A,C) = 60/68 = .882 — a chain
+    # through threshold 0.91.  (Low-J chains near t=0.5 are exactly where
+    # LSH recall collapses, which is why this test cannot use them.)
+    core = " ".join(f"y{i}" for i in range(1, 63))
+    a_text = core + " pa1 pa2 pa3 pa4"
+    b_text = core
+    c_text = core + " pc1 pc2 pc3 pc4"
+    # precondition: A~B and B~C at 0.91, A!~C (exact shingle Jaccard)
+    tri = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text)], "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.shingle_jaccard_pairs(
+                 tri, threshold=0.91).collect()}
+    assert pairs == {(1, 2), (2, 3)}
+
+    in_dir = str(tmp_path / "chain_in")
+    os.makedirs(in_dir, exist_ok=True)
+    docs = spark.createDataFrame(
+        [(0, "https://h/a", a_text), (0, "https://h/z-mid", b_text),
+         (0, "https://h/c", c_text)],
+        "grp int, url string, text string")
+    frontier.write_candidate_arrivals(spark, docs, in_dir)
+    store = SnapshotStore(
+        spark, str(tmp_path / "chain_wh"),
+        schemas={"corpus_docs": ingest.CORPUS_DOCS_SCHEMA})
+    ing = ingest.StreamingCorpusIngest(store, min_tokens=3, store_buckets=8,
+                                       near_threshold=0.91)
+    q = ing.start(
+        ingest.read_document_stream(spark, in_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "chain_ckpt"))
+    q.awaitTermination()
+    kept = sorted(r["url"] for r in store.read("corpus_docs").collect())
+    assert kept == ["https://h/a", "https://h/c"]
