@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.markdown import spans_to_markdown_expr
 from crawler_to_md_spark.operators import (
+    curation,
     dedup,
     multimodal,
     packing,
@@ -260,6 +261,41 @@ def _emb(spark, sf_dir):
 
 def _q_text_stats(spark, sf_dir):
     return textstats.text_stats(_docs(spark, sf_dir))
+
+
+# decontamination fixture: doc_id % 10 == 7 is the held-out "benchmark";
+# train = the rest plus PLANTED contaminated rows (a 'contam'-prefixed copy
+# of every other benchmark doc) — token prefixing preserves every contiguous
+# k-gram of the source, so the planted rows are exactly the expected hits
+DECONTAM_BENCH_MOD = 10
+DECONTAM_BENCH_REM = 7
+DECONTAM_PLANT_MOD = 20
+DECONTAM_K = 8   # documents.parquet floors at 10 tokens — 13-grams (the
+#                  GPT-3 default) would leave sub-k docs a single partial
+#                  window; 8 keeps >= 3 full windows per doc
+
+
+def _q_decontam_report(spark, sf_dir):
+    """T6: GPT-3-style k-gram benchmark decontamination
+    (operators/curation.decontaminate): per-train-doc count of distinct
+    k-grams shared with the benchmark set, benchmark grams broadcast."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD
+                        == DECONTAM_BENCH_REM)
+    planted = bench.filter(
+        F.col("doc_id") % DECONTAM_PLANT_MOD == DECONTAM_BENCH_REM
+    ).select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+             F.concat(F.lit("contam "), F.col("text")).alias("text"))
+    train = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD
+                        != DECONTAM_BENCH_REM).unionByName(planted)
+    return curation.decontaminate(train, bench, k=DECONTAM_K)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals
+    (operators/curation.repetition_stats): shuffle-free sorted-array fold."""
+    return curation.repetition_stats(_docs(spark, sf_dir))
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -566,6 +602,71 @@ def _q_stream_near_ingest(spark, sf_dir):
     return out
 
 
+# ST3 oracle fixture: bursts are arithmetically aligned with the admission
+# operator's event-driven windows, so the stateful semantics reduce to SQL.
+# doc_id i -> host i%7, burst (i//7)%5, within-burst rank (i//7)//5; bursts
+# are 120 s apart (> the 60 s window, so every burst opens a fresh window)
+# and a burst's rows land 1 ms apart inside one second (all inside the
+# window, uniquely ordered).  Each burst arrives as one micro-batch (grp =
+# burst), so the cross-batch GroupState carry is exercised burst-to-burst.
+ADMIT_HOSTS = 7
+ADMIT_BURSTS = 5
+ADMIT_RATE = 3
+_ADMISSION_RESULTS: dict[str, DataFrame] = {}
+
+
+def _q_stream_admission(spark, sf_dir):
+    """ST3: stateful per-host token-bucket admission
+    (streaming/frontier.stateful_host_admission, applyInPandasWithState).
+    With burst-aligned event times the oracle is one window function:
+    admitted iff row_number over (host, burst) <= rate limit."""
+    got = _ADMISSION_RESULTS.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+    import tempfile
+
+    from crawler_to_md_spark.streaming import frontier as sfr
+
+    work = tempfile.mkdtemp(prefix="entry_admission_")
+    in_dir = os.path.join(work, "arrivals")
+    os.makedirs(in_dir, exist_ok=True)
+    i = F.col("doc_id").cast("long")
+    j = F.floor(i / ADMIT_HOSTS).cast("long")
+    burst = (j % ADMIT_BURSTS).cast("long")
+    seq = F.floor(j / ADMIT_BURSTS).cast("long")
+    reqs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        burst.cast("int").alias("grp"),
+        F.concat(F.lit("h"), (i % ADMIT_HOSTS).cast("string")).alias("host"),
+        F.concat(F.lit("u"), i.cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000).cast("long") + burst * 120
+            + seq.cast("double") / 1000.0
+        ).alias("event_time"),
+    )
+    sfr.write_candidate_arrivals(spark, reqs, in_dir)
+    stream = (
+        spark.readStream.schema(sfr.FETCH_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        sfr.stateful_host_admission(stream, rate_limit=ADMIT_RATE,
+                                    window_seconds=60)
+        .select("host", "url", "admitted")
+        .writeStream.foreachBatch(
+            lambda batch, _eid: batch.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    _ADMISSION_RESULTS[sf_dir] = got
+    return got
+
+
 def _q_host_windows(spark, sf_dir):
     """ST2 batch form: the streaming politeness accounting
     (streaming/frontier.py host_request_windows — reference requests/min
@@ -741,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_relpaths": _q_export_relpaths,
         "seed_dedup": _q_seed_dedup,
         "text_stats": _q_text_stats,
+        "decontam_report": _q_decontam_report,
+        "repetition_stats": _q_repetition_stats,
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dups": _q_minhash_near_dups,
         "embedding_topk": _q_embedding_topk,
@@ -755,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_schedule": _q_stream_schedule,
         "stream_ingest": _q_stream_ingest,
         "stream_near_ingest": _q_stream_near_ingest,
+        "stream_admission": _q_stream_admission,
         "host_windows": _q_host_windows,
         "robots_gate": _q_robots_gate,
         "priority_schedule": _q_priority_schedule,
@@ -919,6 +1023,22 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY url
         """,
         "text_stats": textstats.duck_text_stats_sql(),
+        "decontam_report": curation.duck_decontaminate_sql(
+            "decontam_train", "decontam_bench", k=DECONTAM_K,
+            prelude=f"""
+            decontam_bench AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+                WHERE doc_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_REM}
+            ),
+            decontam_train AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+                WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+                UNION ALL
+                SELECT CAST(doc_id + 3000000 AS BIGINT), 'contam ' || text
+                FROM documents
+                WHERE doc_id % {DECONTAM_PLANT_MOD} = {DECONTAM_BENCH_REM}
+            ),"""),
+        "repetition_stats": curation.duck_repetition_sql(),
         "exact_dedup": dedup.duck_exact_dups_sql(),
         "minhash_near_dups": dedup.duck_brute_force_near_dups_sql(threshold=0.5),
         "embedding_topk": similarity.duck_brute_force_topk_sql(n_queries=8, k=10),
@@ -1131,6 +1251,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM near_gated
             )
             SELECT url, n_tokens, epoch FROM near_ranked WHERE rn = 1
+        """,
+        "stream_admission": f"""
+            WITH reqs AS (
+                SELECT CAST(doc_id AS BIGINT) AS i,
+                       'h' || CAST(CAST(doc_id AS BIGINT) % {ADMIT_HOSTS}
+                                   AS VARCHAR) AS host,
+                       'u' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS url,
+                       (CAST(doc_id AS BIGINT) // {ADMIT_HOSTS})
+                           % {ADMIT_BURSTS} AS burst,
+                       (CAST(doc_id AS BIGINT) // {ADMIT_HOSTS})
+                           // {ADMIT_BURSTS} AS seq
+                FROM documents
+            )
+            SELECT host, url,
+                   row_number() OVER (
+                       PARTITION BY host, burst ORDER BY seq
+                   ) <= {ADMIT_RATE} AS admitted
+            FROM reqs
         """,
         "host_windows": """
             SELECT strftime(time_bucket(INTERVAL 1 minute, ts),

@@ -292,12 +292,46 @@ def stage_dedup(spark, sf_dir) -> dict:
             "near_dedup_kept": int(n_kept), "docs_per_sec": n / elapsed}
 
 
+def stage_curation(spark, sf_dir) -> dict:
+    """Curation-operator throughput (operators/curation.py): benchmark
+    decontamination (8-gram overlap vs a 10%-sample benchmark, grams
+    broadcast) + the within-row repetition/boilerplate signals, over a
+    ~50k-doc replicated corpus.  Both results are reduced through a
+    hash-sum aggregate so every output column is actually computed (a bare
+    count() would let Catalyst skip the projections)."""
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.operators import curation
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    reps = int(os.environ.get("CMS_CURATION_REPLICAS", "100"))
+    docs = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).select(
+        (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"), "text"
+    ).persist()
+    n = docs.count()
+    bench = base.filter(F.col("doc_id") % 10 == 7)
+    for _ in range(2):   # warm JIT + python workers; report second pass
+        t0 = time.time()
+        rep = curation.repetition_stats(docs)
+        rep_sum = rep.agg(F.sum(F.hash(*rep.columns))).first()[0]
+        dec = curation.decontaminate(docs, bench, k=8)
+        n_contam = dec.filter("contaminated").count()
+        elapsed = time.time() - t0
+    docs.unpersist()
+    return {"sec": elapsed, "docs": int(n), "contaminated": int(n_contam),
+            "rep_hash": int(rep_sum), "docs_per_sec": n / elapsed}
+
+
 STAGES = {
     "crawl": stage_crawl,
     "schedule": stage_schedule,
     "extract": stage_extract,
     "export": stage_export,
     "dedup": stage_dedup,
+    "curation": stage_curation,
 }
 
 
@@ -525,6 +559,7 @@ def main() -> None:
             "crawl_urls_per_sec": detail["q_crawl"]["urls_per_sec"],
             "extract_pages_per_sec": detail["q_extract"]["pages_per_sec"],
             "dedup_docs_per_sec": detail["q_dedup"]["docs_per_sec"],
+            "curation_docs_per_sec": detail["q_curation"]["docs_per_sec"],
         },
         "detail": detail,
     }

@@ -122,6 +122,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "per page (default 10)")
     p.add_argument("--clean-threshold", type=float, default=0.5,
                    help="--clean near-dup Jaccard threshold (default 0.5)")
+    p.add_argument("--decontaminate-bench", default=None,
+                   help="Parquet of benchmark documents (a 'text' column); "
+                        "with --clean, training docs sharing any "
+                        "--decontaminate-k-gram with the benchmark are "
+                        "dropped before dedup (GPT-3 overlap rule, "
+                        "operators/curation.decontaminate)")
+    p.add_argument("--decontaminate-k", type=int, default=13,
+                   help="k-gram size for --decontaminate-bench "
+                        "(default 13)")
     p.add_argument("--small-export", action="store_true", default=False,
                    help="Assemble compiled exports on the driver (collect) "
                         "instead of the default executor-written sharded "
@@ -295,6 +304,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if args.clean:
             from crawler_to_md_spark.operators.dedup import clean_pipeline
 
+            bench = (
+                spark.read.parquet(args.decontaminate_bench)
+                if args.decontaminate_bench else None
+            )
             # numeric keeper id: xxhash64(url) is deterministic across
             # runs and cluster sizes (the keeper is min id per cluster —
             # arbitrary but stable); collision odds at 10^10 docs are
@@ -306,6 +319,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 threshold=args.clean_threshold,
                 pairs="lsh",   # the probabilistic 10^10-doc scale path;
                                # the exact form backs the oracle query
+                bench=bench, decontam_k=args.decontaminate_k,
             ).drop("__did")
         exports.export_training_shards(
             ok_docs, budget=args.token_budget,

@@ -1,0 +1,243 @@
+"""Corpus curation for training-data pipelines: benchmark decontamination
+and intra-document repetition signals.
+
+Two operations every published pretraining pipeline runs between crawling
+and tokenization, generalizing the reference's raw-markdown corpus (it
+stores text and computes nothing over it; cf. reference
+export_manager.py's pass-through of page content) to what a 100 TB run
+needs before training:
+
+**Decontamination** — flag training documents that share any k-word
+shingle with a held-out evaluation benchmark (the GPT-3/Llama 13-gram
+overlap rule).  The benchmark side is small by construction (eval suites
+are thousands of documents against a 10^10-document corpus), so its
+distinct gram set is explicitly broadcast: the train side streams through
+a map-side hash join with NO shuffle of exploded grams — the only shuffle
+is the partial-aggregated (doc_id, count) rollup.  At web scale the same
+gram set can be pushed further down as a bloom filter (functions/bloom.py)
+so non-matching grams die in the scan stage; the broadcast join here IS
+the exact form of that plan.
+
+**Repetition signals** — the Gopher-family quality rules that catch
+boilerplate and degenerate generators: distinct-token ratio, the fraction
+of all n-gram occurrences claimed by the single most frequent n-gram, and
+the fraction of n-gram occurrences that are duplicated (appear >= 2
+times).  Computed entirely WITHIN-ROW: the non-distinct shingle array is
+sorted and folded once (``aggregate`` with a struct accumulator — each
+element compared to its predecessor exactly once, no free subtrees, so no
+interpreted-HOF re-execution), giving a shuffle-free scan-only plan that
+survives any corpus size.  The DuckDB oracle recomputes the same numbers
+the readable way (unnest + GROUP BY) — the oracle need not be
+shuffle-efficient, the engine must.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators.textstats import (
+    shingle_windows,
+    shingles,
+    token_count,
+    tokens,
+)
+
+# GPT-3's decontamination grain (13-gram overlap); callers tune k down for
+# short-document corpora
+DECONTAM_K = 13
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_grams(bench: DataFrame, text_col: str = "text",
+                    k: int = DECONTAM_K) -> DataFrame:
+    """Distinct k-gram set of the evaluation benchmark — the (small)
+    contamination probe set, one column ``gram``."""
+    return bench.select(
+        F.explode(shingles(F.col(text_col), k)).alias("gram")
+    ).distinct()
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = DECONTAM_K) -> DataFrame:
+    """Per-training-document contamination report against a benchmark:
+    ``(id_col, n_contaminated_grams, contaminated)`` for EVERY train row.
+
+    Plan shape at 10^10 train docs: the benchmark gram set is broadcast
+    (eval suites are tiny relative to any training corpus), the exploded
+    train grams hash-join map-side — exploded rows never shuffle — and the
+    per-doc rollup moves partial-aggregated (doc_id, count) pairs only.
+    Filter ``~contaminated`` to drop, or keep the counts for audit."""
+    grams = benchmark_grams(bench, text_col, k)
+    hits = (
+        train.select(F.col(id_col), F.explode(shingles(F.col(text_col), k))
+                     .alias("gram"))
+        .join(F.broadcast(grams), "gram")
+        # shingles() is distinct per doc, so count(*) == distinct grams hit
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0).cast("long"))
+            .alias("n_contaminated_grams"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def _run_fold(sorted_grams: Column) -> Column:
+    """One pass over a SORTED non-distinct gram array: returns
+    ``struct(maxrun, dupsum)`` where ``maxrun`` is the longest equal run
+    (the occurrence count of the most frequent gram) and ``dupsum`` is the
+    total length of all runs >= 2 (occurrences of duplicated grams).
+
+    The accumulator carries (prev, run, maxrun, dupsum); each element is
+    examined once and the lambdas reference only the accumulator and the
+    element — nothing re-executes under the interpreted-HOF model
+    (cf. shingle_windows' docstring)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("dupsum"),
+    )
+
+    def step(acc, x):
+        cont = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(cont, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        closed_dup = F.when(
+            ~cont & (acc["run"] >= 2), acc["run"]
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["dupsum"] + closed_dup).alias("dupsum"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["maxrun"].alias("maxrun"),
+            (
+                acc["dupsum"]
+                + F.when(acc["run"] >= 2, acc["run"])
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("dupsum"),
+        )
+
+    return F.aggregate(sorted_grams, init, step, finish)
+
+
+def repetition_features(text: Column, ns: tuple[int, ...] = (2, 3)
+                        ) -> dict[str, Column]:
+    """Gopher-style within-document repetition columns, all within-row."""
+    toks = tokens(text)
+    feats: dict[str, Column] = {
+        "distinct_token_ratio": F.round(
+            F.size(F.array_distinct(toks)) / token_count(text).cast("double"),
+            6,
+        ),
+    }
+    for n in ns:
+        w = shingle_windows(text, n)
+        total = F.size(w).cast("double")
+        fold = _run_fold(F.array_sort(w))
+        feats[f"top{n}gram_frac"] = F.round(fold["maxrun"] / total, 6)
+        feats[f"dup{n}gram_frac"] = F.round(fold["dupsum"] / total, 6)
+    return feats
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """One row per document with the repetition feature set."""
+    feats = repetition_features(F.col(text_col), ns)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+def duck_decontaminate_sql(train_rel: str, bench_rel: str,
+                           k: int = DECONTAM_K, t: str = "text",
+                           prelude: str = "") -> str:
+    """Oracle for ``decontaminate``: same report via unnest + joins.
+    ``prelude`` = extra CTE definitions (comma-terminated) defining
+    ``train_rel`` / ``bench_rel``."""
+    from crawler_to_md_spark.operators.textstats import duck_shingles
+
+    sh = duck_shingles(t, k)
+    return f"""
+        WITH {prelude} bench_grams AS (
+            SELECT DISTINCT unnest({sh}) AS gram FROM {bench_rel}
+        ),
+        train_sh AS (
+            SELECT doc_id, {sh} AS sh FROM {train_rel}
+        ),
+        hits AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+            FROM (SELECT doc_id, unnest(sh) AS gram FROM train_sh) x
+            JOIN bench_grams USING (gram)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+               coalesce(h.n_contaminated_grams, 0) > 0 AS contaminated
+        FROM train_sh t LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def duck_repetition_sql(docs_rel: str = "documents",
+                        ns: tuple[int, ...] = (2, 3),
+                        t: str = "text") -> str:
+    """Oracle for ``repetition_stats``: unnest + GROUP BY per n."""
+    from crawler_to_md_spark.operators.textstats import (
+        DUCK_TOKEN_COUNT,
+        DUCK_TOKENS,
+        duck_shingle_windows,
+    )
+
+    toks = DUCK_TOKENS.format(t=t)
+    ntok = DUCK_TOKEN_COUNT.format(t=t)
+    ctes, joins, cols = [], [], []
+    for n in ns:
+        w = duck_shingle_windows(t, n)
+        ctes.append(f"""
+        g{n} AS (
+            SELECT doc_id, unnest({w}) AS gram FROM {docs_rel}
+        ),
+        c{n} AS (
+            SELECT doc_id, gram, count(*) AS c FROM g{n} GROUP BY 1, 2
+        ),
+        s{n} AS (
+            SELECT doc_id,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS topf,
+                   round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                         / CAST(sum(c) AS DOUBLE), 6) AS dupf
+            FROM c{n} GROUP BY doc_id
+        )""")
+        joins.append(f"JOIN s{n} USING (doc_id)")
+        cols.append(f"s{n}.topf AS top{n}gram_frac, "
+                    f"s{n}.dupf AS dup{n}gram_frac")
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT d.doc_id,
+               round(len(list_distinct({toks})) / CAST({ntok} AS DOUBLE), 6)
+                   AS distinct_token_ratio,
+               {', '.join(cols)}
+        FROM {docs_rel} d {' '.join(joins)}
+    """

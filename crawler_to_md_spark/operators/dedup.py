@@ -614,8 +614,10 @@ def clean_pipeline(
     pairs: str = "exact",
     max_df: int | None = None,
     max_bucket: int = 50,
+    bench: DataFrame | None = None,
+    decontam_k: int = 13,
 ) -> DataFrame:
-    """Gate -> exact dedup -> near-dup collapse -> drop, composed.
+    """Gate -> [decontaminate] -> exact dedup -> near-dup collapse -> drop.
 
     Stages (each individually oracle-gated elsewhere; the composition is
     certified end-to-end by the ``crawl_clean_shards`` entry query):
@@ -639,13 +641,24 @@ def clean_pipeline(
     Returns the surviving rows with all input columns.  Every stage's
     shuffle is keyed uniformly (digest / gram / node id); nothing is
     driver-side beyond connected_components' 2-tuple convergence probe.
+
+    ``bench`` adds a decontamination stage right after the gate (before
+    any shuffle): training docs sharing a ``decontam_k``-word shingle with
+    the benchmark frame are dropped (operators/curation.decontaminate —
+    benchmark grams broadcast, so the stage costs one map-side join).
     """
     from crawler_to_md_spark.operators.textstats import token_count
 
     t = F.col(text_col)
-    gated = docs.filter(token_count(t) >= min_tokens).withColumn(
-        "__digest", F.md5(t)
-    )
+    gated = docs.filter(token_count(t) >= min_tokens)
+    if bench is not None:
+        from crawler_to_md_spark.operators import curation
+
+        contaminated = curation.decontaminate(
+            gated, bench, text_col=text_col, id_col=id_col, k=decontam_k
+        ).filter("contaminated").select(id_col)
+        gated = gated.join(contaminated, id_col, "left_anti")
+    gated = gated.withColumn("__digest", F.md5(t))
     keepers = gated.groupBy("__digest").agg(
         F.min(id_col).alias(id_col)
     )
@@ -685,16 +698,20 @@ def clean_shards(
     pairs: str = "exact",
     max_df: int | None = None,
     approx_rows: int | None = None,
+    bench: DataFrame | None = None,
+    decontam_k: int = 13,
 ) -> DataFrame:
     """:func:`clean_pipeline` -> token-budget shard packing: the one-shot
-    crawl-to-training-shards cleaning statement (gate, exact dedup, near-dup
-    collapse, drop, pack).  Returns (order_cols..., n_tokens, shard_id,
-    shard_offset) over the CLEANED corpus."""
+    crawl-to-training-shards cleaning statement (gate, optional benchmark
+    decontamination, exact dedup, near-dup collapse, drop, pack).  Returns
+    (order_cols..., n_tokens, shard_id, shard_offset) over the CLEANED
+    corpus."""
     from crawler_to_md_spark.operators.packing import pack_shards
 
     cleaned = clean_pipeline(
         docs, text_col=text_col, id_col=id_col, min_tokens=min_tokens,
         threshold=threshold, k=k, pairs=pairs, max_df=max_df,
+        bench=bench, decontam_k=decontam_k,
     )
     return pack_shards(
         cleaned, budget=budget, text_col=text_col,

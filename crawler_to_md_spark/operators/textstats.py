@@ -96,8 +96,11 @@ def lang_guess(text: Column) -> Column:
     return F.element_at(names_by_rev_rank, best["rev_rank"] + 1)
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles, each rendered as a space-joined string.
+def shingle_windows(text: Column, k: int = 3) -> Column:
+    """ALL k-word shingles in document order (NON-distinct), each rendered
+    as a space-joined string; ``max(T-k+1, 1)`` windows per document (the
+    single trailing partial window survives for T < k, matching the
+    reference ``slice`` behavior).
 
     Built by zipping the token array with its k-1 shifted suffixes rather
     than ``transform(sequence(...), i -> slice(toks, i+1, k))``: higher-order
@@ -108,13 +111,12 @@ def shingles(text: Column, k: int = 3) -> Column:
     k+1 times total) and the lambdas touch only their element variables:
     O(T*k).  Measured on 2k docs x 1000 tokens: 9.5 s -> 0.55 s, identical
     arrays (``zip_with`` pads the shorter side with null and ``concat_ws``
-    skips nulls, so the trailing partial windows reproduce the reference
-    ``slice`` behavior for T < k before the length cut removes the rest)."""
+    skips nulls)."""
     if k <= 1:
-        # degenerate window: 1-word shingles are just the distinct tokens
+        # degenerate window: 1-word shingles are the tokens themselves
         # (the shifted-suffix zip below would index shifts[0] of an empty
         # list); matches the transform/slice form for k=1 exactly
-        return F.array_distinct(tokens(text))
+        return tokens(text)
     toks = tokens(text)
     n = F.size(tokens(text))
     shifts = [
@@ -124,7 +126,14 @@ def shingles(text: Column, k: int = 3) -> Column:
     z = F.zip_with(tokens(text), shifts[0], lambda x, y: F.concat_ws(" ", x, y))
     for s in shifts[1:]:
         z = F.zip_with(z, s, lambda x, y: F.concat_ws(" ", x, y))
-    return F.array_distinct(F.slice(z, 1, F.greatest(n - k + 1, F.lit(1))))
+    return F.slice(z, 1, F.greatest(n - k + 1, F.lit(1)))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (set semantics — the dedup/fingerprint
+    grain); see ``shingle_windows`` for the ordered non-distinct form and
+    the re-execution-safe construction both share."""
+    return F.array_distinct(shingle_windows(text, k))
 
 
 def fingerprint(text: Column, k: int = 3, keep: int = 4) -> Column:
@@ -180,13 +189,23 @@ def duck_lang_guess(t: str) -> str:
     return expr
 
 
-def duck_fingerprint(t: str, k: int = 3, keep: int = 4) -> str:
+def duck_shingle_windows(t: str, k: int = 3) -> str:
+    """DuckDB twin of ``shingle_windows``: all k-word shingles in order,
+    non-distinct, trailing partial window kept for T < k."""
     toks = DUCK_TOKENS.format(t=t)
-    shingle = (
-        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {k}, 0) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' ')))"
+    return (
+        f"list_transform(range(0, greatest(len({toks}) - {k}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' '))"
     )
-    hashes = f"list_transform({shingle}, s -> substr(md5(s), 1, 16))"
+
+
+def duck_shingles(t: str, k: int = 3) -> str:
+    """DuckDB twin of ``shingles`` (distinct k-word shingles)."""
+    return f"list_distinct({duck_shingle_windows(t, k)})"
+
+
+def duck_fingerprint(t: str, k: int = 3, keep: int = 4) -> str:
+    hashes = f"list_transform({duck_shingles(t, k)}, s -> substr(md5(s), 1, 16))"
     return f"array_to_string(list_slice(list_sort({hashes}), 1, {keep}), '|')"
 
 

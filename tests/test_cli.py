@@ -204,7 +204,8 @@ def test_respect_robots_refreshes_on_resume(spark, tmp_path, corpus_path,
     import crawler_to_md_spark.sources.robots as robots_src
     from crawler_to_md_spark.operators import crawl as crawl_mod
 
-    def fake_fetch(hosts, policy, transport_factory=None, agent=""):
+    def fake_fetch(hosts, policy, transport_factory=None, agent="",
+                   emit_all=False):
         return hosts.select("host").distinct().withColumn(
             "disallow", F.array().cast("array<string>"))
 
@@ -297,3 +298,31 @@ def test_clean_training_shards_export(spark, tmp_path, corpus_path):
         assert r["shard_id"] == stream // 64
         assert r["shard_offset"] == stream % 64
         stream += r["n_tokens"]
+
+
+def test_clean_decontaminate_bench(spark, tmp_path, corpus_path):
+    """--decontaminate-bench drops training pages sharing a k-gram with
+    the benchmark parquet from the cleaned shard export."""
+    shards = str(tmp_path / "dshards_base")
+    args = ("--url", corpus.seed_url(),
+            "--base-url", "https://h0.example.com/",
+            "--corpus-parquet", corpus_path,
+            "--token-budget", "64", "--clean", "--clean-min-tokens", "5")
+    rc, out, cache = _run(spark, tmp_path, *args,
+                          "--training-shards-dir", shards, name="dbase")
+    assert rc == 0
+    base_rows = {r["url"]: r["text"]
+                 for r in spark.read.parquet(shards).collect()}
+    victim_url = sorted(base_rows)[0]
+    bench_pq = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(base_rows[victim_url],)],
+                          "text string").write.parquet(bench_pq)
+    shards2 = str(tmp_path / "dshards_decontam")
+    rc, out, cache = _run(spark, tmp_path, *args,
+                          "--training-shards-dir", shards2,
+                          "--decontaminate-bench", bench_pq,
+                          "--decontaminate-k", "8", name="ddecon")
+    assert rc == 0
+    kept = {r["url"] for r in spark.read.parquet(shards2).collect()}
+    assert victim_url not in kept                # contaminated page gone
+    assert kept and kept <= set(base_rows)       # still a clean subset

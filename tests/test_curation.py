@@ -1,0 +1,158 @@
+"""Corpus-curation operators: benchmark decontamination and repetition
+signals (operators/curation.py) plus the shingle_windows refactor they
+build on (operators/textstats.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators import curation
+from crawler_to_md_spark.operators.textstats import shingle_windows, shingles
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col.alias("v")).first()["v"]
+
+
+# ---------------------------------------------------------------------------
+# shingle_windows (non-distinct ordered form)
+# ---------------------------------------------------------------------------
+
+class TestShingleWindows:
+    def test_ordered_non_distinct(self, spark):
+        got = _one(spark, "a b a b c", shingle_windows(F.col("text"), 2))
+        assert got == ["a b", "b a", "a b", "b c"]
+
+    def test_distinct_form_matches_set(self, spark):
+        got = _one(spark, "a b a b c", shingles(F.col("text"), 2))
+        assert got == ["a b", "b a", "b c"]
+
+    def test_short_doc_keeps_partial_window(self, spark):
+        assert _one(spark, "a b", shingle_windows(F.col("text"), 5)) == ["a b"]
+
+    def test_k1_is_tokens(self, spark):
+        assert _one(spark, "a b a", shingle_windows(F.col("text"), 1)) == [
+            "a", "b", "a"]
+        assert _one(spark, "a b a", shingles(F.col("text"), 1)) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def _py_rep(text: str, n: int) -> tuple[float, float]:
+    toks = text.split(" ")
+    wins = [" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 1))]
+    c = Counter(wins)
+    total = len(wins)
+    top = max(c.values()) / total
+    dup = sum(v for v in c.values() if v >= 2) / total
+    return round(top, 6), round(dup, 6)
+
+
+class TestRepetitionStats:
+    TEXTS = [
+        "a b a b a b c",          # heavy 2-gram repetition
+        "x y z w v u t s",        # no repetition at all
+        "q q q q q q",            # degenerate single-token generator
+        "one two",                # shorter than n=3 (partial window)
+    ]
+
+    def test_matches_python_reference(self, spark):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r
+                for r in curation.repetition_stats(docs).collect()}
+        for i, t in enumerate(self.TEXTS):
+            toks = t.split(" ")
+            assert rows[i]["distinct_token_ratio"] == round(
+                len(set(toks)) / len(toks), 6)
+            for n in (2, 3):
+                top, dup = _py_rep(t, n)
+                assert rows[i][f"top{n}gram_frac"] == top, (i, n)
+                assert rows[i][f"dup{n}gram_frac"] == dup, (i, n)
+
+    def test_plan_is_shuffle_free(self, spark):
+        """The within-row fold must stay a pure scan: no Exchange, no
+        aggregate operator — the property that makes it corpus-size-proof."""
+        docs = spark.createDataFrame([(1, "a b c a b")],
+                                     "doc_id long, text string")
+        plan = (curation.repetition_stats(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "HashAggregate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+class TestDecontaminate:
+    def test_flags_exactly_the_overlapping_docs(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "b1 b2 b3 b4 b5"), (101, "c1 c2 c3 c4 c5 c6")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [
+                (1, "x b1 b2 b3 y"),            # shares 3-gram "b1 b2 b3"
+                (2, "c4 c5 c6"),                # shares "c4 c5 c6"
+                (3, "b1 b3 b2 c1 c3"),          # same words, no shared 3-gram
+                (4, "b2 b3 b4 b5 q c1 c2 c3"),  # two bench docs hit
+            ],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in curation.decontaminate(
+            train, bench, k=3).collect()}
+        assert {i: g["contaminated"] for i, g in got.items()} == {
+            1: True, 2: True, 3: False, 4: True}
+        assert got[1]["n_contaminated_grams"] == 1
+        assert got[2]["n_contaminated_grams"] == 1
+        assert got[3]["n_contaminated_grams"] == 0
+        # doc 4: "b2 b3 b4", "b3 b4 b5" from bench 100; "c1 c2 c3" from 101
+        assert got[4]["n_contaminated_grams"] == 3
+
+    def test_report_covers_every_train_doc(self, spark):
+        bench = spark.createDataFrame([(9, "z z z")],
+                                      "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(i, f"w{i} a b") for i in range(20)],
+            "doc_id long, text string")
+        out = curation.decontaminate(train, bench, k=3)
+        assert out.count() == 20
+        assert out.filter("contaminated").count() == 0
+
+    def test_clean_pipeline_decontam_stage(self, spark):
+        """clean_pipeline(bench=...) drops contaminated docs after the
+        gate and before dedup — the keeper of a dup group can change when
+        the old keeper was contaminated."""
+        from crawler_to_md_spark.operators.dedup import clean_pipeline
+
+        bench = spark.createDataFrame([(100, "s1 s2 s3 s4 s5")],
+                                      "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [
+                (1, "s1 s2 s3 plus other words"),   # contaminated keeper
+                (2, "clean doc one two three"),
+                (3, "clean doc one two three"),     # exact dup of 2
+                (4, "short"),                       # fails gate
+            ],
+            "doc_id long, text string")
+        got = sorted(r["doc_id"] for r in clean_pipeline(
+            docs, min_tokens=2, bench=bench, decontam_k=3).collect())
+        assert got == [2]  # 1 decontaminated, 3 deduped, 4 gated
+        # without bench, doc 1 survives
+        got2 = sorted(r["doc_id"] for r in clean_pipeline(
+            docs, min_tokens=2).collect())
+        assert got2 == [1, 2]
+
+    def test_bench_side_is_broadcast(self, spark):
+        bench = spark.createDataFrame([(9, "a b c d")],
+                                      "doc_id long, text string")
+        train = spark.createDataFrame([(1, "a b c d e")],
+                                      "doc_id long, text string")
+        plan = (curation.decontaminate(train, bench, k=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
