@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
 from pyspark.sql import functions as F
 
 from crawler_to_md_spark.operators import curation
@@ -61,12 +62,14 @@ class TestRepetitionStats:
         "one two",                # shorter than n=3 (partial window)
     ]
 
-    def test_matches_python_reference(self, spark):
+    @pytest.mark.parametrize("impl", ["native", "pandas"])
+    def test_matches_python_reference(self, spark, impl):
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(self.TEXTS)],
             "doc_id long, text string")
         rows = {r["doc_id"]: r
-                for r in curation.repetition_stats(docs).collect()}
+                for r in curation.repetition_stats(docs, impl=impl)
+                .collect()}
         for i, t in enumerate(self.TEXTS):
             toks = t.split(" ")
             assert rows[i]["distinct_token_ratio"] == round(
@@ -76,15 +79,26 @@ class TestRepetitionStats:
                 assert rows[i][f"top{n}gram_frac"] == top, (i, n)
                 assert rows[i][f"dup{n}gram_frac"] == dup, (i, n)
 
-    def test_plan_is_shuffle_free(self, spark):
-        """The within-row fold must stay a pure scan: no Exchange, no
-        aggregate operator — the property that makes it corpus-size-proof."""
+    @pytest.mark.parametrize("impl", ["native", "pandas"])
+    def test_plan_is_shuffle_free(self, spark, impl):
+        """Both impls must stay a pure scan: no Exchange, no aggregate
+        operator — the property that makes them corpus-size-proof."""
         docs = spark.createDataFrame([(1, "a b c a b")],
                                      "doc_id long, text string")
-        plan = (curation.repetition_stats(docs)
+        plan = (curation.repetition_stats(docs, impl=impl)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
         assert "HashAggregate" not in plan
+
+    def test_impls_are_bit_identical(self, spark):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+        a = sorted(map(tuple, curation.repetition_stats(
+            docs, impl="native").collect()))
+        b = sorted(map(tuple, curation.repetition_stats(
+            docs, impl="pandas").collect()))
+        assert a == b
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +106,8 @@ class TestRepetitionStats:
 # ---------------------------------------------------------------------------
 
 class TestDecontaminate:
-    def test_flags_exactly_the_overlapping_docs(self, spark):
+    @pytest.mark.parametrize("impl", ["native", "pandas"])
+    def test_flags_exactly_the_overlapping_docs(self, spark, impl):
         bench = spark.createDataFrame(
             [(100, "b1 b2 b3 b4 b5"), (101, "c1 c2 c3 c4 c5 c6")],
             "doc_id long, text string")
@@ -105,7 +120,7 @@ class TestDecontaminate:
             ],
             "doc_id long, text string")
         got = {r["doc_id"]: r for r in curation.decontaminate(
-            train, bench, k=3).collect()}
+            train, bench, k=3, impl=impl).collect()}
         assert {i: g["contaminated"] for i, g in got.items()} == {
             1: True, 2: True, 3: False, 4: True}
         assert got[1]["n_contaminated_grams"] == 1
