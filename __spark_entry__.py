@@ -298,6 +298,38 @@ def _q_repetition_stats(spark, sf_dir):
     return curation.repetition_stats(_docs(spark, sf_dir))
 
 
+# line-dedup fixture: documents re-rendered as multi-line docs (one line
+# per 5 tokens) behind a shared boilerplate header line — the header must
+# survive only in the corpus-minimum doc, token lines dedup by first
+# (doc_id, pos) occurrence wherever the small vocabulary repeats a 5-gram
+LINE_WIDTH = 5
+BOILER = "NAV home about contact"
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (operators/curation.line_dedup — the
+    CCNet/RefinedWeb boilerplate pass), skew-proof keeper join."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    toks = F.split(F.trim(F.col("text")), " ")
+    # fixture-only construction (per-line slice re-evaluates the free toks
+    # subtree under interpreted HOFs — fine at oracle scale, not operator
+    # code): non-overlapping 5-token lines + the planted boilerplate header
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(toks) / F.lit(LINE_WIDTH)).cast("int") - 1),
+        lambda j: F.array_join(
+            F.slice(toks, j * LINE_WIDTH + 1, LINE_WIDTH), " "),
+    )
+    ml = docs.select(
+        "doc_id",
+        F.concat(F.lit(BOILER + "\n"),
+                 F.array_join(lines, "\n")).alias("text"),
+    )
+    return curation.line_dedup(ml)
+
+
 def _q_exact_dedup(spark, sf_dir):
     return dedup.exact_dup_groups(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -844,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "decontam_report": _q_decontam_report,
         "repetition_stats": _q_repetition_stats,
+        "line_dedup": _q_line_dedup,
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dups": _q_minhash_near_dups,
         "embedding_topk": _q_embedding_topk,
@@ -1039,6 +1072,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % {DECONTAM_PLANT_MOD} = {DECONTAM_BENCH_REM}
             ),"""),
         "repetition_stats": curation.duck_repetition_sql(),
+        "line_dedup": curation.duck_line_dedup_sql(
+            "ml_docs",
+            prelude=f"""
+            ml_docs AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       '{BOILER}' || chr(10) || array_to_string(
+                           list_transform(
+                               range(0, CAST(ceil(
+                                   len(string_split(trim(text), ' '))
+                                   / {LINE_WIDTH}.0) AS BIGINT)),
+                               j -> array_to_string(list_slice(
+                                   string_split(trim(text), ' '),
+                                   j * {LINE_WIDTH} + 1,
+                                   j * {LINE_WIDTH} + {LINE_WIDTH}), ' ')),
+                           chr(10)) AS text
+                FROM documents
+            ),"""),
         "exact_dedup": dedup.duck_exact_dups_sql(),
         "minhash_near_dups": dedup.duck_brute_force_near_dups_sql(threshold=0.5),
         "embedding_topk": similarity.duck_brute_force_topk_sql(n_queries=8, k=10),

@@ -287,8 +287,117 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide line dedup
+# ---------------------------------------------------------------------------
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_line_tokens: int = 0) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the CCNet/RefinedWeb boilerplate
+    pass): every newline-separated line keeps its FIRST occurrence —
+    ordered by (``id_col``, line position) — and later copies are removed
+    from their documents; documents whose every line was removed drop out.
+    Lines shorter than ``min_line_tokens`` are exempt (kept verbatim):
+    dropping every short connective line corpus-wide hurts more than the
+    boilerplate it catches.
+
+    Returns ``(id_col, text, n_lines, n_lines_kept)`` with ``text``
+    reassembled from the surviving lines in original order.
+
+    Plan shape at 10^10 docs, deliberately SKEW-PROOF: the obvious
+    ``row_number() OVER (PARTITION BY line-digest)`` puts every copy of
+    the hottest boilerplate line (10^8 copies of a cookie banner) into ONE
+    window partition — exactly the rows this operator exists to remove
+    become its straggler task.  Instead the keeper per digest is a
+    combine-safe ``min(struct(id, pos))`` aggregate (map-side partial
+    aggregation collapses each input partition's copies to one row before
+    the shuffle), and membership is a LEFT SEMI join on the FULL
+    ``(digest, id, pos)`` triple — unique per row on both sides, so the
+    join shuffle hashes uniformly no matter how duplicated any line is.
+    Line text moves through two uniform shuffles total (the semi join and
+    the per-document reassembly groupBy)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("digest", F.md5("line"))
+    exempt = (
+        F.size(F.split(F.trim(F.col("line")), " ")) < min_line_tokens
+        if min_line_tokens > 0 else F.lit(False)
+    )
+    keepers = (
+        lines.groupBy("digest")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k"))
+        .select("digest", F.col(f"k.{id_col}").alias(id_col),
+                F.col("k.pos").alias("pos"))
+    )
+    kept = lines.filter(~exempt).join(
+        keepers, ["digest", id_col, "pos"], "left_semi"
+    ).unionByName(lines.filter(exempt)).drop("digest")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count("*").cast("long").alias("n_lines_kept"),
+        )
+        .join(
+            docs.select(
+                F.col(id_col),
+                (F.size(F.split(F.col(text_col), "\n"))
+                 .cast("long").alias("n_lines")),
+            ),
+            id_col,
+        )
+        .select(id_col, text_col, "n_lines", "n_lines_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------
+
+def duck_line_dedup_sql(docs_rel: str, id_col: str = "doc_id",
+                        t: str = "text", min_line_tokens: int = 0,
+                        prelude: str = "") -> str:
+    """Oracle for ``line_dedup``: the readable ROW_NUMBER form (the engine
+    avoids that window for skew reasons; the oracle need not)."""
+    exempt = (
+        f"len(string_split(trim(line), ' ')) < {min_line_tokens}"
+        if min_line_tokens > 0 else "FALSE"
+    )
+    return f"""
+        WITH {prelude} ld_lines AS (
+            SELECT {id_col},
+                   unnest(list_transform(
+                       range(1, len(string_split({t}, chr(10))) + 1),
+                       i -> {{'pos': i - 1,
+                             'line': string_split({t}, chr(10))[i]}}),
+                       recursive := true)
+            FROM {docs_rel}
+        ),
+        ld_ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY line ORDER BY {id_col}, pos) AS rn
+            FROM ld_lines
+        ),
+        ld_kept AS (
+            SELECT {id_col}, pos, line FROM ld_ranked
+            WHERE rn = 1 OR {exempt}
+        )
+        SELECT k.{id_col},
+               string_agg(k.line, chr(10) ORDER BY k.pos) AS {t},
+               CAST(any_value(len(string_split(d.{t}, chr(10))))
+                    AS BIGINT) AS n_lines,
+               CAST(count(*) AS BIGINT) AS n_lines_kept
+        FROM ld_kept k JOIN {docs_rel} d USING ({id_col})
+        GROUP BY k.{id_col}
+    """
+
 
 def duck_decontaminate_sql(train_rel: str, bench_rel: str,
                            k: int = DECONTAM_K, t: str = "text",

@@ -102,6 +102,52 @@ class TestRepetitionStats:
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide line dedup
+# ---------------------------------------------------------------------------
+
+class TestLineDedup:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "NAV home\nunique one\nrepeated body\nunique two"),
+                (2, "NAV home\nrepeated body\nonly in two"),
+                (3, "NAV home\nNAV home\nthird things"),   # intra-doc dup
+                (4, "NAV home"),                           # all-dup doc
+            ],
+            "doc_id long, text string")
+
+    def test_first_occurrence_wins_and_order_holds(self, spark):
+        got = {r["doc_id"]: r for r in curation.line_dedup(
+            self._docs(spark)).collect()}
+        assert got[1]["text"] == (
+            "NAV home\nunique one\nrepeated body\nunique two")
+        assert got[2]["text"] == "only in two"
+        assert got[3]["text"] == "third things"      # both NAV copies gone
+        assert 4 not in got                          # nothing survived
+        assert (got[1]["n_lines"], got[1]["n_lines_kept"]) == (4, 4)
+        assert (got[2]["n_lines"], got[2]["n_lines_kept"]) == (3, 1)
+        assert (got[3]["n_lines"], got[3]["n_lines_kept"]) == (3, 1)
+
+    def test_short_line_exemption(self, spark):
+        got = {r["doc_id"]: r for r in curation.line_dedup(
+            self._docs(spark), min_line_tokens=3).collect()}
+        # every 2-token line is exempt (kept even when duplicated);
+        # 3-token "only in two" is subject to dedup but unique
+        assert got[2]["text"] == "NAV home\nrepeated body\nonly in two"
+        assert got[4]["text"] == "NAV home"
+
+    def test_no_window_skew_operator_in_plan(self, spark):
+        """The keeper must be a partial-aggregated min + semi join, never
+        a row_number window partitioned by the line digest (the hottest
+        boilerplate line would become one straggler task)."""
+        plan = (curation.line_dedup(self._docs(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "RunningWindowFunction" not in plan and "Window" not in plan
+        assert "LeftSemi" in plan
+        assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
 
