@@ -26,6 +26,8 @@ from crawler_to_md_spark.operators import (
     dedup,
     multimodal,
     packing,
+    privacy,
+    sampling,
     similarity,
     textstats,
 )
@@ -328,6 +330,94 @@ def _q_line_dedup(spark, sf_dir):
                  F.array_join(lines, "\n")).alias("text"),
     )
     return curation.line_dedup(ml)
+
+
+# PII fixture: the synthetic documents are digit-free word salad, so PII
+# is PLANTED deterministically from doc_id (both engines build the same
+# strings): emails on doc_id%7==3, SSNs on %13==6, phones on %5==2, IPv4
+# on %11==2 — four-digit tails rendered as 1000+id%9000 (no lpad needed)
+def _pii_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    four = s(F.lit(1000) + did % 9000)
+    t = F.col("text")
+    t = F.when(did % 7 == 3,
+               F.concat(t, F.lit(" reach user"), s(did),
+                        F.lit("@example.com now"))).otherwise(t)
+    t = F.when(did % 13 == 6,
+               F.concat(t, F.lit(" id 987-65-"), four)).otherwise(t)
+    t = F.when(did % 5 == 2,
+               F.concat(t, F.lit(" call 555-867-"), four)).otherwise(t)
+    t = F.when(did % 11 == 2,
+               F.concat(t, F.lit(" node 10.0."), s(did % 256), F.lit("."),
+                        s((did * 7) % 256), F.lit(" up"))).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+_PII_DOCS_DUCK = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 3
+                   THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 13 = 6
+                   THEN ' id 987-65-'
+                        || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 2
+                   THEN ' call 555-867-'
+                        || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 2
+                   THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        || ' up' ELSE '' END
+           AS text
+    FROM documents
+"""
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub (operators/privacy.redact_pii): sequential typed-regex
+    passes + per-type counts, scan-only / shuffle-free."""
+    return privacy.redact_pii(_pii_docs(spark, sf_dir))
+
+
+# mixing fixture: per-language caps with 'es' deliberately absent from the
+# mixture spec (an unmentioned stratum contributes nothing)
+MIX_CAPS = {"en": 40, "de": 25, "fr": 10}
+
+
+def _q_mix_sample(spark, sf_dir):
+    """Deterministic stratified mixture sample
+    (operators/sampling.stratified_sample): exact top-cap-per-language
+    under md5 order via the certified salted two-phase plan."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text")
+    caps = spark.createDataFrame(
+        [(lang, cap) for lang, cap in sorted(MIX_CAPS.items())],
+        "lang string, cap int")
+    out = sampling.stratified_sample(docs, ["lang"], caps, ["doc_id"])
+    return out.select("doc_id", "lang")
+
+
+def _q_mixture_report(spark, sf_dir):
+    """Per-(lang, source) mixture accounting
+    (operators/sampling.mixture_report): docs, token weight, corpus
+    share."""
+    docs = _docs(spark, sf_dir).select("lang", "source", "text")
+    return sampling.mixture_report(docs, ["lang", "source"])
+
+
+def _q_lm_score(spark, sf_dir):
+    """Corpus-intrinsic unigram LM quality score
+    (operators/textstats.unigram_logprob): micro-nat-quantized mean token
+    log-prob, exact integer aggregation cross-engine."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return textstats.unigram_logprob(docs)
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -877,6 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": _q_decontam_report,
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
+        "pii_redact": _q_pii_redact,
+        "mix_sample": _q_mix_sample,
+        "mixture_report": _q_mixture_report,
+        "lm_score": _q_lm_score,
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dups": _q_minhash_near_dups,
         "embedding_topk": _q_embedding_topk,
@@ -1089,6 +1183,37 @@ def oracle_sql() -> dict[str, str]:
                            chr(10)) AS text
                 FROM documents
             ),"""),
+        "pii_redact": privacy.pii_oracle_sql(
+            f"({_PII_DOCS_DUCK})", other_cols=["doc_id"]),
+        "mix_sample": f"""
+            WITH ranked AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR))
+                       ) AS rn,
+                       CASE lang {' '.join(
+                           f"WHEN '{lang}' THEN {cap}"
+                           for lang, cap in sorted(MIX_CAPS.items()))}
+                       END AS cap
+                FROM documents
+            )
+            SELECT doc_id, lang FROM ranked WHERE rn <= cap
+        """,
+        "mixture_report": """
+            WITH per AS (
+                SELECT lang, source,
+                       count(*) AS docs,
+                       CAST(sum(len(string_split(trim(text), ' ')))
+                            AS BIGINT) AS weight
+                FROM documents GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(weight) AS total FROM per)
+            SELECT lang, source, docs, weight,
+                   round(weight / CAST(total AS DOUBLE), 6) AS share
+            FROM per, tot
+        """,
+        "lm_score": textstats.duck_unigram_logprob_sql(),
         "exact_dedup": dedup.duck_exact_dups_sql(),
         "minhash_near_dups": dedup.duck_brute_force_near_dups_sql(threshold=0.5),
         "embedding_topk": similarity.duck_brute_force_topk_sql(n_queries=8, k=10),

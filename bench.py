@@ -325,6 +325,45 @@ def stage_curation(spark, sf_dir) -> dict:
             "rep_hash": int(rep_sum), "docs_per_sec": n / elapsed}
 
 
+def stage_quality(spark, sf_dir) -> dict:
+    """Quality/mixing operator throughput (round 4): PII redaction
+    (scan-only regex chain), the unigram-LM score (two partial-agg passes
+    + vocab join), and the stratified mixture sampler (salted two-phase
+    top-cap-per-stratum) over the same replicated ~50k-doc corpus as
+    stage_curation.  Hash-sum reductions force every output column."""
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.operators import privacy, sampling
+    from crawler_to_md_spark.operators.textstats import unigram_logprob
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text")
+    reps = int(os.environ.get("CMS_CURATION_REPLICAS", "100"))
+    docs = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).select(
+        (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
+        "lang", "text",
+    ).persist()
+    n = docs.count()
+    caps = spark.createDataFrame(
+        [("en", n // 20), ("de", n // 40), ("fr", n // 40)],
+        "lang string, cap int")
+    for _ in range(2):   # warm JIT + shuffle services; report second pass
+        t0 = time.time()
+        red = privacy.redact_pii(docs)
+        pii_sum = red.agg(F.sum(F.hash(*red.columns))).first()[0]
+        lm = unigram_logprob(docs)
+        lm_sum = lm.agg(F.sum(F.hash(*lm.columns))).first()[0]
+        mix = sampling.stratified_sample(docs, ["lang"], caps, ["doc_id"])
+        n_mix = mix.count()
+        elapsed = time.time() - t0
+    docs.unpersist()
+    return {"sec": elapsed, "docs": int(n), "sampled": int(n_mix),
+            "pii_hash": int(pii_sum), "lm_hash": int(lm_sum),
+            "docs_per_sec": n / elapsed}
+
+
 STAGES = {
     "crawl": stage_crawl,
     "schedule": stage_schedule,
@@ -332,6 +371,7 @@ STAGES = {
     "export": stage_export,
     "dedup": stage_dedup,
     "curation": stage_curation,
+    "quality": stage_quality,
 }
 
 
@@ -560,6 +600,7 @@ def main() -> None:
             "extract_pages_per_sec": detail["q_extract"]["pages_per_sec"],
             "dedup_docs_per_sec": detail["q_dedup"]["docs_per_sec"],
             "curation_docs_per_sec": detail["q_curation"]["docs_per_sec"],
+            "quality_docs_per_sec": detail["q_quality"]["docs_per_sec"],
         },
         "detail": detail,
     }

@@ -1,0 +1,109 @@
+"""Data-mixing operators: stratified sampling and mixture accounting.
+
+A pretraining run never trains on the raw crawl distribution — it fixes a
+mixture (so much code, so much encyclopedic text, per-language shares) and
+samples each stratum to its budget.  The reference has no analog (it
+exports whatever it crawled); these operators close that gap Spark-first.
+
+``stratified_sample`` takes the top-``cap`` documents per stratum under a
+DETERMINISTIC pseudo-random order (md5 of the document key — stable across
+runs, engines, and partitionings, so the sample is reproducible and
+oracle-checkable, unlike ``TABLESAMPLE``/``rand()``).  Exact-k-per-stratum
+is the same problem as the frontier's exact top-``budget``-per-host
+dequeue, with the same web-scale skew hazard: one stratum (``lang='en'``)
+can own 90% of a 10^10-document corpus, and the obvious
+``row_number() OVER (PARTITION BY stratum)`` funnels it through one task.
+The implementation reuses the certified salted two-phase plan
+(operators/politeness.py — green ``priority_schedule`` oracle): phase 1
+ranks within (stratum, salt) keeping ``cap`` rows per shard — a true
+top-``cap`` row is necessarily in its shard's top-``cap`` — phase 2 ranks
+the ≤ ``salt_shards``·``cap`` survivors per stratum.  Worst-case task
+size is bounded by the cap, not the stratum.
+
+Per-stratum caps arrive as a small DataFrame (stratum → cap), broadcast
+into the rank filter — the mixture spec is dozens-to-thousands of rows
+against a 10^10-row corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators.textstats import token_count
+
+
+def sample_key(*cols) -> "F.Column":
+    """The deterministic pseudo-random sort key: lowercase-hex md5 of the
+    '|'-joined key columns.  Identical bytes in Spark and DuckDB, so the
+    selected set is engine-independent."""
+    return F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    caps: DataFrame,
+    key_cols: list[str],
+    salt_shards: int = 8,
+) -> DataFrame:
+    """Exact deterministic top-``cap``-per-stratum sample.
+
+    ``caps`` has columns ``strata_cols + ["cap"]`` (small: the mixture
+    spec).  ``key_cols`` must uniquely identify a row (e.g. ``doc_id``) —
+    they seed the md5 order and break ties totally, so the result is a
+    set, not a race.  Strata absent from ``caps`` are dropped (a mixture
+    that doesn't mention a stratum takes none of it).
+    """
+    key = sample_key(*key_cols)
+    with_key = df.withColumn("__mix_key", key)
+    # the salt spreads a hot stratum across tasks; any deterministic
+    # function of the row works — it never reaches the result
+    salted = with_key.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
+               F.lit(salt_shards)).cast("int"),
+    )
+    order = [F.col("__mix_key")]
+    capped = salted.join(F.broadcast(caps), on=strata_cols, how="inner")
+    w1 = Window.partitionBy(*strata_cols, "__salt").orderBy(*order)
+    survivors = (
+        capped.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("cap"))
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("cap"))
+        .drop("__r2", "__salt", "__mix_key", "cap")
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    strata_cols: list[str],
+    weight_col: "F.Column | None" = None,
+) -> DataFrame:
+    """Per-stratum accounting: document count, weight sum (tokens, bytes
+    — default: whitespace token count of ``text``), and each stratum's
+    share of the corpus weight.  One partial-aggregated shuffle on the
+    stratum key plus a scalar total folded back as a literal-free
+    window-less division (the total rides a single-row cross join that
+    AQE plans as a broadcast)."""
+    w = weight_col if weight_col is not None \
+        else token_count(F.col("text"))
+    per = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(w.cast("long")).alias("weight"),
+    )
+    total = per.agg(F.sum("weight").alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            *strata_cols,
+            "docs",
+            "weight",
+            F.round(F.col("weight") / F.col("__total"), 6).alias("share"),
+        )
+    )

@@ -158,6 +158,60 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """KenLM-lite corpus-intrinsic quality score: per-document mean
+    unigram log-probability under the corpus's own empirical unigram
+    distribution (the CCNet quality signal with the external LM replaced
+    by the corpus itself — fully self-contained, no model artifact).
+
+    Two-pass shape, each pass partial-aggregated so only distinct keys
+    shuffle: pass 1 folds the exploded token stream to (doc, token, c)
+    then (token, cnt) — map-side combine collapses within-document and
+    within-partition repeats before either exchange; pass 2 joins the
+    (doc, token, c) pairs back to the vocabulary (dozens-of-MB against a
+    10^10-doc corpus — AQE picks the broadcast at runtime; at a 10^8-type
+    vocabulary it degrades to a shuffle join on the same key the
+    vocabulary aggregation just produced, so the exchange is reused) and
+    rolls up per document.
+
+    Cross-engine determinism: per-token log-probs are QUANTIZED to
+    integer micro-nats (round(ln(cnt/total)·1e6)) before the per-document
+    summation, so the compared aggregate is an exact integer sum —
+    immune to float summation order across partitions and engines; the
+    single final division is one deterministic float op.  ``logp_micro``
+    twin: ``duck_unigram_logprob_sql``.
+    """
+    dt = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = dt.groupBy("token").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("__total"))
+    logp_u = F.round(
+        (F.log(F.col("cnt").cast("double"))
+         - F.log(F.col("__total").cast("double"))) * 1e6
+    ).cast("long")
+    scored = (
+        dt.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__lpu", logp_u)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("__lpu"))
+                / (F.sum("c") * F.lit(1e6)),
+                6,
+            ).alias("lm_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins (oracle SQL fragments; {t} = text expression)
 # ---------------------------------------------------------------------------
@@ -207,6 +261,36 @@ def duck_shingles(t: str, k: int = 3) -> str:
 def duck_fingerprint(t: str, k: int = 3, keep: int = 4) -> str:
     hashes = f"list_transform({duck_shingles(t, k)}, s -> substr(md5(s), 1, 16))"
     return f"array_to_string(list_slice(list_sort({hashes}), 1, {keep}), '|')"
+
+
+def duck_unigram_logprob_sql(docs_rel: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """Readable twin of ``unigram_logprob`` — unnest + GROUP BY with the
+    identical micro-nat quantization, so the compared per-document sum is
+    an exact integer in both engines."""
+    toks = DUCK_TOKENS.format(t=text_col)
+    return f"""
+        WITH dt AS (
+            SELECT {id_col} AS doc_id, unnest({toks}) AS token
+            FROM {docs_rel}
+        ),
+        dtc AS (
+            SELECT doc_id, token, count(*) AS c FROM dt GROUP BY 1, 2
+        ),
+        vocab AS (
+            SELECT token, sum(c) AS cnt FROM dtc GROUP BY 1
+        ),
+        tot AS (SELECT sum(cnt) AS total FROM vocab)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(sum(c * CAST(round((ln(CAST(cnt AS DOUBLE))
+                                         - ln(CAST(total AS DOUBLE))) * 1e6)
+                                  AS BIGINT))
+                     / (sum(c) * 1e6), 6) AS lm_logprob
+        FROM dtc JOIN vocab USING (token), tot
+        GROUP BY doc_id
+    """
 
 
 def duck_text_stats_sql(docs_rel: str = "documents") -> str:
