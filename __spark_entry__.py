@@ -24,6 +24,7 @@ from crawler_to_md_spark.functions.markdown import spans_to_markdown_expr
 from crawler_to_md_spark.operators import (
     curation,
     dedup,
+    interleaved,
     multimodal,
     packing,
     privacy,
@@ -933,6 +934,47 @@ def _q_crawl_clean_shards(spark, sf_dir):
     )
 
 
+def _q_media_manifest(spark, sf_dir):
+    """Media-fetch frontier over the crawl's interleaved documents
+    (operators/interleaved.py): every distinct media reference with its
+    citation count and first citing page — dedup BEFORE fetch, so an
+    image embedded by many pages downloads once.  Mirror pages (every
+    9th page re-served at a ``?mirror=1`` URL, the dominant duplication
+    source in real crawls) are planted so the count aggregation provably
+    collapses multi-page citations, not just 1:1 rows."""
+    docs = _engine(spark, sf_dir).docs().filter("status = 'ok'")
+    base = docs.select("url", "spans").withColumn(
+        "did", F.regexp_extract("url", r"/docs/p(\d+)$", 1).cast("long")
+    )
+    mirror = base.filter(F.col("did") % CLEAN_MOD == 0).select(
+        F.concat("url", F.lit("?mirror=1")).alias("url"), "spans"
+    )
+    return interleaved.media_manifest(
+        base.select("url", "spans").unionByName(mirror)
+    )
+
+
+def _q_span_stats(spark, sf_dir):
+    """Per-document interleaving statistics over the crawl's span table
+    — the gate signals of a vision-language curation pass (span counts by
+    role, text-token mass, media density).  Scan-only plan: every column
+    is an in-row fold over the bounded span array."""
+    docs = _engine(spark, sf_dir).docs().filter("status = 'ok'")
+    return interleaved.span_stats(docs.select("url", "spans"))
+
+
+def _q_pack_multimodal(spark, sf_dir):
+    """Multimodal token-budget shard packing: interleaved documents pack
+    under text tokens + a fixed 64-token patch cost per media span (a
+    vision-LM's true sequence length), 512-token shards in url order —
+    the same certified two-phase prefix sum as pack_shards, driven by the
+    span structure instead of a text column."""
+    docs = _engine(spark, sf_dir).docs().filter("status = 'ok'")
+    return interleaved.pack_interleaved(
+        docs.select("url", "spans"), budget=512, media_cost=64
+    )
+
+
 def _q_pack_shards(spark, sf_dir):
     """Token-budget sequence packing (operators/packing.py): documents in
     doc_id order are concatenated into a continuous token stream cut at
@@ -995,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dedup_pipeline": _q_quality_dedup_pipeline,
         "near_dup_components": _q_near_dup_components,
         "cuckoo_purge_schedule": _q_cuckoo_purge_schedule,
+        "media_manifest": _q_media_manifest,
+        "span_stats": _q_span_stats,
+        "pack_multimodal": _q_pack_multimodal,
     }
 
 
@@ -1028,6 +1073,26 @@ def oracle_sql() -> dict[str, str]:
     markdown = (
         f"array_to_string(list_concat(list_concat(list_concat([{heading}], "
         f"{paras}), {image}), {code}), chr(10) || chr(10))"
+    )
+    # interleaved span-structure fragments (operators/interleaved.py twins):
+    # text spans = heading ('Doc g' = 2 tokens) + non-empty paras + code
+    # ('print(g)' = 1 token); media = the image span; links only on 'ok'
+    # pages (transient pages carry no link spans in the corpus)
+    has_img = f"CASE WHEN {corpus.HAS_IMAGE_SQL.format(g=g)} THEN 1 ELSE 0 END"
+    has_code = f"CASE WHEN {corpus.HAS_CODE_SQL.format(g=g)} THEN 1 ELSE 0 END"
+    text_tokens = (
+        f"2 + coalesce(list_sum(list_transform({paras}, "
+        f"p -> len(string_split(p, ' ')))), 0) + {has_code}"
+    )
+    # link spans per 'ok' page: children 1..3 gated on < p_total, the cross
+    # link always, one junk link for g%5 in (0,1,2,4), the duplicate
+    # child-1 link for g%5 = 3 (again gated on child 1 existing)
+    n_links = (
+        "CAST((3*m.g+1 < m.p_total) AS BIGINT)"
+        " + CAST((3*m.g+2 < m.p_total) AS BIGINT)"
+        " + CAST((3*m.g+3 < m.p_total) AS BIGINT) + 1"
+        " + CASE WHEN m.g % 5 = 3 THEN CAST((3*m.g+1 < m.p_total) AS BIGINT)"
+        " ELSE 1 END"
     )
 
     return {
@@ -1256,6 +1321,68 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (g % 2 = 0 AND g % 4 <> 0)
         """,
         "pack_shards": packing.duck_pack_shards_sql(budget=2048),
+        "media_manifest": f"""
+            {_reach_cte()}
+            SELECT {corpus.IMAGE_REF_SQL.format(g=g)} AS media_ref,
+                   'image' AS kind,
+                   CAST(CASE WHEN m.g % {CLEAN_MOD} = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_refs,
+                   m.url AS first_url
+            FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+            WHERE m.cls IN ('ok', 'transient')
+              AND {corpus.HAS_IMAGE_SQL.format(g=g)}
+        """,
+        "span_stats": f"""
+            {_reach_cte()},
+            pages AS (
+                SELECT m.url AS url,
+                       CAST(len({paras}) AS BIGINT) AS n_paras,
+                       CAST({text_tokens} AS BIGINT) AS n_text_tokens,
+                       CAST({has_img} AS BIGINT) AS n_media,
+                       CAST({has_code} AS BIGINT) AS n_code,
+                       CASE WHEN m.cls = 'ok'
+                            THEN CAST({n_links} AS BIGINT)
+                            ELSE 0 END AS n_links
+                FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+                WHERE m.cls IN ('ok', 'transient')
+            )
+            SELECT url,
+                   CAST(1 + n_paras + n_media + n_code + n_links AS BIGINT)
+                       AS n_spans,
+                   CAST(1 + n_paras + n_code AS BIGINT) AS n_text_spans,
+                   n_media AS n_media_spans,
+                   n_links AS n_link_spans,
+                   n_text_tokens,
+                   round(n_media * 100 / greatest(n_text_tokens, 1), 6)
+                       AS media_per_100_tokens
+            FROM pages
+        """,
+        "pack_multimodal": f"""
+            {_reach_cte()},
+            weighted AS (
+                SELECT m.url AS url,
+                       CAST({text_tokens} AS BIGINT) AS n_text_tokens,
+                       CAST({has_img} AS BIGINT) AS n_media
+                FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+                WHERE m.cls IN ('ok', 'transient')
+            ),
+            costed AS (
+                SELECT url, n_text_tokens, n_media,
+                       CAST(n_text_tokens + 64 * n_media AS BIGINT) AS cost
+                FROM weighted
+            ),
+            summed AS (
+                SELECT *, SUM(cost) OVER (
+                    ORDER BY url
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - cost AS start_tok
+                FROM costed
+            )
+            SELECT url, n_text_tokens, n_media, cost,
+                   CAST(floor(start_tok / 512) AS BIGINT) AS shard_id,
+                   CAST(start_tok % 512 AS BIGINT) AS shard_offset
+            FROM summed
+        """,
         "crawl_training_shards": f"""
             {_reach_cte()},
             crawled AS (
