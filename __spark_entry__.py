@@ -975,6 +975,23 @@ def _q_pack_multimodal(spark, sf_dir):
     )
 
 
+def _q_host_quality_gate(spark, sf_dir):
+    """Domain-level quality filtering (operators/curation.py
+    host_quality_gate): per-host token-mass rollup, hosts whose mean page
+    quality falls below the threshold are dropped WHOLESALE — the
+    RefinedWeb/C4 rule that a junk domain poisons even its above-threshold
+    pages.  The kept flag is the integer comparison total >= mean*n (no
+    float division), so the host split is bit-stable across engines."""
+    docs = _engine(spark, sf_dir).docs().filter("status = 'ok'")
+    scored = docs.select(
+        "url",
+        urlkit.url_host(F.col("url")).alias("host"),
+        interleaved.text_token_sum(F.col("spans")).alias("score"),
+    )
+    return curation.host_quality_gate(scored, min_mean=24).select(
+        "url", "host")
+
+
 def _q_pack_shards(spark, sf_dir):
     """Token-budget sequence packing (operators/packing.py): documents in
     doc_id order are concatenated into a continuous token stream cut at
@@ -1040,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_manifest": _q_media_manifest,
         "span_stats": _q_span_stats,
         "pack_multimodal": _q_pack_multimodal,
+        "host_quality_gate": _q_host_quality_gate,
     }
 
 
@@ -1356,6 +1374,21 @@ def oracle_sql() -> dict[str, str]:
                    round(n_media * 100 / greatest(n_text_tokens, 1), 6)
                        AS media_per_100_tokens
             FROM pages
+        """,
+        "host_quality_gate": f"""
+            {_reach_cte()},
+            pages AS (
+                SELECT m.url AS url, m.host AS host,
+                       CAST({text_tokens} AS BIGINT) AS score
+                FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+                WHERE m.cls IN ('ok', 'transient')
+            ),
+            kept_hosts AS (
+                SELECT host FROM pages GROUP BY host
+                HAVING sum(score) >= 24 * count(*)
+            )
+            SELECT p.url AS url, p.host AS host
+            FROM pages p JOIN kept_hosts USING (host)
         """,
         "pack_multimodal": f"""
             {_reach_cte()},

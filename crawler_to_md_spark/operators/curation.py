@@ -468,3 +468,65 @@ def duck_repetition_sql(docs_rel: str = "documents",
                {', '.join(cols)}
         FROM {docs_rel} d {' '.join(joins)}
     """
+
+
+# ---------------------------------------------------------------------------
+# host-level quality gating (RefinedWeb/C4-style domain filtering)
+# ---------------------------------------------------------------------------
+
+
+def host_quality_report(
+    docs: DataFrame,
+    score_col: str = "score",
+    host_col: str = "host",
+    min_mean: int = 24,
+) -> DataFrame:
+    """Per-host quality rollup: ``(host, n_docs, total_score, kept)``.
+
+    Published pipelines gate whole domains, not just documents — a host
+    whose average page quality is junk (link farms, auto-generated
+    catalogs) poisons even its above-threshold pages, so RefinedWeb/C4
+    drop it wholesale.  ``kept`` is the integer comparison
+    ``total_score >= min_mean * n_docs`` (identical to mean >= min_mean
+    but exact: no float division, so the flag is bit-stable across
+    engines and partitionings).
+
+    One partial-aggregated shuffle: only (host, count, sum) triples move;
+    per-host fan-in skew (one host owning 10^9 pages) is absorbed by the
+    map-side combine.
+    """
+    return (
+        docs.groupBy(host_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(score_col).cast("long").alias("total_score"),
+        )
+        .withColumn(
+            "kept",
+            F.col("total_score") >= F.lit(int(min_mean)) * F.col("n_docs"),
+        )
+    )
+
+
+def host_quality_gate(
+    docs: DataFrame,
+    score_col: str = "score",
+    host_col: str = "host",
+    min_mean: int = 24,
+) -> DataFrame:
+    """Drop every document of every below-threshold host.
+
+    Left-semi join against the kept-host set.  The build side is the
+    aggregation output of ``host_quality_report`` — AQE sizes it at
+    runtime and broadcasts while the distinct-host universe fits (a
+    domain-scoped crawl), degrading to a shuffled semi join at the
+    10^7-10^8-host web scale, where AQE's skew-join split also bounds the
+    hot-host partition.  Returns the input rows (all columns) of kept
+    hosts only.
+    """
+    kept = (
+        host_quality_report(docs, score_col, host_col, min_mean)
+        .filter(F.col("kept"))
+        .select(host_col)
+    )
+    return docs.join(kept, on=host_col, how="left_semi")

@@ -43,6 +43,8 @@ from crawler_to_md_spark.operators.textstats import token_count
 
 __all__ = [
     "MEDIA_KINDS",
+    "text_token_sum",
+    "media_count",
     "media_manifest",
     "span_stats",
     "pack_interleaved",
@@ -62,7 +64,7 @@ def _is_text(s: Column) -> Column:
     return (s["kind"] != "link") & ~_is_media(s) & s["text"].isNotNull()
 
 
-def _text_token_sum(spans: Column) -> Column:
+def text_token_sum(spans: Column) -> Column:
     """Total whitespace tokens across a row's text spans (heading,
     paragraph, code — never link anchors or media).  One in-row fold over
     a bounded array; stays in the scan stage."""
@@ -135,7 +137,7 @@ def span_stats(
     """
     spans = F.col(spans_col)
     n_media = media_count(spans)
-    n_text_tokens = _text_token_sum(spans)
+    n_text_tokens = text_token_sum(spans)
     return docs.select(
         F.col(url_col).alias("url"),
         F.size(spans).cast("long").alias("n_spans"),
@@ -179,9 +181,9 @@ def pack_interleaved(
     spans = F.col(spans_col)
     weighted = docs.select(
         F.col(url_col).alias("url"),
-        _text_token_sum(spans).alias("n_text_tokens"),
+        text_token_sum(spans).alias("n_text_tokens"),
         media_count(spans).alias("n_media"),
-        (_text_token_sum(spans) + F.lit(media_cost) * media_count(spans))
+        (text_token_sum(spans) + F.lit(media_cost) * media_count(spans))
         .cast("long")
         .alias("cost"),
     )

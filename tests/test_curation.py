@@ -217,3 +217,40 @@ class TestDecontaminate:
         plan = (curation.decontaminate(train, bench, k=3)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestHostQualityGate:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        # goodhost mean 30 (>= 24), junkhost mean 10 (< 24),
+        # edgehost total == 24 * n exactly (kept: >= is inclusive)
+        rows = [
+            ("https://good/a", "good", 40),
+            ("https://good/b", "good", 20),
+            ("https://junk/a", "junk", 10),
+            ("https://junk/b", "junk", 10),
+            ("https://edge/a", "edge", 24),
+        ]
+        return spark.createDataFrame(rows, "url string, host string, score long")
+
+    def test_report(self, spark, scored):
+        rep = {r["host"]: r for r in
+               curation.host_quality_report(scored, min_mean=24).collect()}
+        assert (rep["good"]["n_docs"], rep["good"]["total_score"],
+                rep["good"]["kept"]) == (2, 60, True)
+        assert rep["junk"]["kept"] is False
+        assert rep["edge"]["kept"] is True   # inclusive boundary
+
+    def test_gate_drops_whole_host(self, spark, scored):
+        kept = curation.host_quality_gate(scored, min_mean=24)
+        urls = sorted(r["url"] for r in kept.collect())
+        assert urls == ["https://edge/a", "https://good/a", "https://good/b"]
+        # all original columns survive the semi join
+        assert set(kept.columns) == {"url", "host", "score"}
+
+    def test_single_shuffle_report_plan(self, spark, scored):
+        plan = curation.host_quality_report(scored)._jdf.queryExecution(
+        ).executedPlan().toString()
+        # partial agg -> one exchange -> final agg: only (host, count, sum)
+        # triples move
+        assert plan.count("Exchange hashpartitioning") == 1
