@@ -25,6 +25,7 @@ from crawler_to_md_spark.operators import (
     curation,
     dedup,
     interleaved,
+    linkgraph,
     multimodal,
     packing,
     privacy,
@@ -152,6 +153,40 @@ def _q_corpus_edges(spark, sf_dir):
         )
         .distinct()
     )
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Host-authority ranking (operators/linkgraph.py): the crawl-priority
+    signal a web-scale scheduler orders hosts by.  Integer power iteration
+    (3 rounds, damping 4/5, micro-unit BIGINT ranks — bit-stable across
+    engines and partitionings) over the host graph collapsed from the
+    certified canonical edge list (`corpus_edges`).  The oracle unrolls
+    the identical recurrence as chained CTEs."""
+    edges = linkgraph.host_edges(_q_corpus_edges(spark, sf_dir),
+                                 "src_url", "dst_url")
+    return linkgraph.pagerank(edges, iterations=3).select(
+        F.col("node").alias("host"), F.col("rank").alias("rank_units"))
+
+
+def _pagerank_ctes(iters: int = 3, unit: int = 10**12,
+                   num: int = 4, den: int = 5) -> str:
+    """DuckDB twin of linkgraph.pagerank: the same integer recurrence
+    unrolled (pr0..pr{iters}); expects pr_nodes(node) and
+    pr_e(src, dst, deg) CTEs upstream."""
+    from crawler_to_md_spark.operators.linkgraph import pagerank_base
+
+    base = pagerank_base(unit, num, den)
+    parts = [f"pr0 AS (SELECT node, CAST({unit} AS BIGINT) AS r FROM pr_nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""pr{i} AS (
+            SELECT n.node,
+                   CAST({base} + ({num} * COALESCE(c.s, 0)) // {den}
+                        AS BIGINT) AS r
+            FROM pr_nodes n LEFT JOIN (
+                SELECT e.dst AS node, CAST(SUM(p.r // e.deg) AS BIGINT) AS s
+                FROM pr_e e JOIN pr{i - 1} p ON p.node = e.src
+                GROUP BY e.dst) c ON c.node = n.node)""")
+    return ",\n".join(parts)
 
 
 def _q_crawl_seen_set(spark, sf_dir):
@@ -1058,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_stats": _q_span_stats,
         "pack_multimodal": _q_pack_multimodal,
         "host_quality_gate": _q_host_quality_gate,
+        "host_pagerank": _q_host_pagerank,
     }
 
 
@@ -1374,6 +1410,30 @@ def oracle_sql() -> dict[str, str]:
                    round(n_media * 100 / greatest(n_text_tokens, 1), 6)
                        AS media_per_100_tokens
             FROM pages
+        """,
+        "host_pagerank": f"""
+            {_meta_cte()},
+            pr_hedges AS (
+                SELECT DISTINCT {corpus.HOST_SQL.format(g='e.src')} AS src,
+                                {corpus.HOST_SQL.format(g='e.dst')} AS dst
+                FROM corpus_edges e
+                WHERE ({corpus.HOST_ID_SQL.format(g='e.src')})
+                      <> ({corpus.HOST_ID_SQL.format(g='e.dst')})
+            ),
+            pr_nodes AS (
+                SELECT src AS node FROM pr_hedges
+                UNION SELECT dst FROM pr_hedges
+            ),
+            pr_deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM pr_hedges GROUP BY src
+            ),
+            pr_e AS (
+                SELECT h.src, h.dst, d.deg
+                FROM pr_hedges h JOIN pr_deg d USING (src)
+            ),
+            {_pagerank_ctes(iters=3)}
+            SELECT node AS host, r AS rank_units FROM pr3
         """,
         "host_quality_gate": f"""
             {_reach_cte()},
