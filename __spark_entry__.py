@@ -1010,6 +1010,55 @@ def _q_pack_multimodal(spark, sf_dir):
     )
 
 
+def _q_media_context(spark, sf_dir):
+    """VLM caption mining (operators/interleaved.py media_context_pairs):
+    for every media span of every crawled page, the nearest text span
+    before/after in document order — computed in-row (no shuffle), one
+    explode.  Oracle re-derives both contexts arithmetically from the
+    corpus generator formulas (last non-empty paragraph else the heading;
+    the code span when present)."""
+    docs = _engine(spark, sf_dir).docs().filter("status = 'ok'")
+    return interleaved.media_context_pairs(docs)
+
+
+def _q_section_chunks(spark, sf_dir):
+    """Heading-delimited section chunking (operators/interleaved.py
+    section_chunks) over a PLANTED multi-heading interleaved table (the
+    crawl corpus has one heading per page, which would certify nothing):
+    documents.text is cut into 8-token chunks, every 4th chunk is a
+    heading, an image span follows every chunk with i%5==2.  Both engines
+    derive the same spans from the same formula; the oracle recomputes
+    sections with a window-free GROUP BY i//4."""
+    docs = corpus.load_documents(spark, sf_dir)
+    planted = docs.selectExpr(
+        "doc_id",
+        f"""
+        transform(
+          flatten(transform(
+            sequence(0,
+              CAST((size(split(trim(text), ' ')) + 7) DIV 8 AS INT) - 1),
+            i -> concat(
+              array(named_struct(
+                'kind',
+                CASE WHEN i % 4 = 0 THEN 'heading2' ELSE 'paragraph' END,
+                'text',
+                array_join(slice(split(trim(text), ' '), 8 * i + 1, 8), ' '),
+                'media_ref', CAST(NULL AS STRING),
+                'offset', 0)),
+              CASE WHEN i % 5 = 2 THEN array(named_struct(
+                'kind', 'image', 'text', CAST(NULL AS STRING),
+                'media_ref',
+                'img://' || CAST(doc_id AS STRING) || '/' || CAST(i AS STRING),
+                'offset', 0))
+              ELSE CAST(array() AS {corpus.SPANS_DDL}) END))),
+          (s, j) -> named_struct(
+            'kind', s.kind, 'text', s.text, 'media_ref', s.media_ref,
+            'offset', CAST(j AS INT))) AS spans
+        """,
+    )
+    return interleaved.section_chunks(planted, id_col="doc_id")
+
+
 def _q_host_quality_gate(spark, sf_dir):
     """Domain-level quality filtering (operators/curation.py
     host_quality_gate): per-host token-mass rollup, hosts whose mean page
@@ -1094,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_multimodal": _q_pack_multimodal,
         "host_quality_gate": _q_host_quality_gate,
         "host_pagerank": _q_host_pagerank,
+        "media_context": _q_media_context,
+        "section_chunks": _q_section_chunks,
     }
 
 
@@ -1410,6 +1461,61 @@ def oracle_sql() -> dict[str, str]:
                    round(n_media * 100 / greatest(n_text_tokens, 1), 6)
                        AS media_per_100_tokens
             FROM pages
+        """,
+        "media_context": f"""
+            {_reach_cte()},
+            ctx_pages AS (
+                SELECT m.url AS url, m.g AS g, m.text AS text
+                FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+                WHERE m.cls IN ('ok', 'transient') AND m.g % 2 = 0
+            )
+            SELECT url,
+                   {corpus.IMAGE_REF_SQL.format(g='g')} AS media_ref,
+                   'image' AS kind,
+                   COALESCE(
+                     CASE WHEN g % 3 >= 2
+                          AND {corpus.PARA_SQL.format(text='text', j=2)} <> ''
+                          THEN {corpus.PARA_SQL.format(text='text', j=2)} END,
+                     CASE WHEN g % 3 >= 1
+                          AND {corpus.PARA_SQL.format(text='text', j=1)} <> ''
+                          THEN {corpus.PARA_SQL.format(text='text', j=1)} END,
+                     CASE WHEN {corpus.PARA_SQL.format(text='text', j=0)} <> ''
+                          THEN {corpus.PARA_SQL.format(text='text', j=0)} END,
+                     'Doc ' || CAST(g AS STRING)) AS context_before,
+                   CASE WHEN g % 7 = 3
+                        THEN {corpus.CODE_SQL.format(g='g')} END
+                       AS context_after
+            FROM ctx_pages
+        """,
+        "section_chunks": """
+            WITH d AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS toks
+                FROM documents
+            ),
+            fan AS (
+                SELECT doc_id, toks,
+                       CAST(unnest(range(0, (len(toks) + 7) // 8)) AS BIGINT)
+                           AS i
+                FROM d
+            ),
+            ch AS (
+                SELECT doc_id, i,
+                       array_to_string(
+                         toks[CAST(8*i+1 AS BIGINT) : CAST(8*i+8 AS BIGINT)],
+                         ' ') AS chunk
+                FROM fan
+            ),
+            grouped AS (
+                SELECT doc_id, i // 4 AS grp,
+                       CAST(count(*) + count(*) FILTER (WHERE i % 5 = 2)
+                            AS BIGINT) AS n_spans,
+                       min(CASE WHEN i % 4 = 0 THEN chunk END) AS heading,
+                       string_agg(chunk, chr(10) ORDER BY i) AS text
+                FROM ch GROUP BY doc_id, grp
+            )
+            SELECT doc_id, CAST(grp + 1 AS BIGINT) AS section_id,
+                   heading, n_spans, text
+            FROM grouped
         """,
         "host_pagerank": f"""
             {_meta_cte()},

@@ -48,6 +48,8 @@ __all__ = [
     "media_manifest",
     "span_stats",
     "pack_interleaved",
+    "media_context_pairs",
+    "section_chunks",
 ]
 
 # span kinds that reference an external media object.  Link spans also
@@ -150,6 +152,140 @@ def span_stats(
         F.round(
             n_media * 100 / F.greatest(n_text_tokens, F.lit(1)), 6
         ).alias("media_per_100_tokens"),
+    )
+
+
+def media_context_pairs(
+    docs: DataFrame,
+    url_col: str = "url",
+    spans_col: str = "spans",
+    kinds: tuple[str, ...] = MEDIA_KINDS,
+) -> DataFrame:
+    """Caption-candidate context for every media span: ``(url, media_ref,
+    kind, context_before, context_after)`` where the contexts are the
+    nearest TEXT span strictly before / after the media span in document
+    order (NULL when none exists).
+
+    This is how image-text pair corpora are mined from interleaved
+    documents (the alt-text-free path): the prose adjacent to an image in
+    reading order is its best caption candidate.  Link anchors and other
+    media never qualify as context.
+
+    Plan shape: everything is computed IN-ROW — for each media span a
+    bounded prefix/suffix scan of the same row's span array (O(n²) per
+    document over an array bounded by page size, still scan-stage work) —
+    then one explode emits a row per media span.  No shuffle, no Python,
+    no window; at 100 TB this is a pure map over the document scan.
+    """
+    kind_set = list(kinds)
+    spans = F.col(spans_col)
+
+    def pair(m: Column) -> Column:
+        before = F.filter(
+            spans, lambda s: _is_text(s) & (s["offset"] < m["offset"])
+        )
+        after = F.filter(
+            spans, lambda s: _is_text(s) & (s["offset"] > m["offset"])
+        )
+        return F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["kind"].alias("kind"),
+            F.get(before, F.size(before) - 1)["text"].alias("context_before"),
+            F.get(after, 0)["text"].alias("context_after"),
+        )
+
+    pairs = F.transform(
+        F.filter(
+            spans,
+            lambda s: s["kind"].isin(*kind_set) & s["media_ref"].isNotNull(),
+        ),
+        pair,
+    )
+    return docs.select(
+        F.col(url_col).alias("url"), F.explode(pairs).alias("p")
+    ).select(
+        "url",
+        F.col("p.media_ref").alias("media_ref"),
+        F.col("p.kind").alias("kind"),
+        F.col("p.context_before").alias("context_before"),
+        F.col("p.context_after").alias("context_after"),
+    )
+
+
+def section_chunks(
+    docs: DataFrame,
+    id_col: str = "url",
+    spans_col: str = "spans",
+    heading_prefix: str = "heading",
+) -> DataFrame:
+    """Split every interleaved document into heading-delimited sections —
+    the chunking grain of RAG indexing and SFT example construction:
+    ``(id, section_id, heading, n_spans, text)``.
+
+    A section is a heading span plus everything up to (not including) the
+    next heading; spans before the first heading form section 0 with a
+    NULL heading (no row is emitted for an empty preamble).  ``text`` is
+    the newline-join of the section's text spans (heading line included —
+    the same text-span membership as ``span_stats``); media and link
+    spans count in ``n_spans`` but never contribute text.
+
+    Plan shape: section ids are per-span prefix heading-counts computed
+    IN-ROW (bounded O(n²) array scans inside the document scan, like
+    ``media_context_pairs``), sections are folded in-row, and one explode
+    emits a row per section.  No shuffle, no window partitioned by
+    document — the classic ``COUNT() OVER (PARTITION BY doc)`` form would
+    shuffle the whole corpus; this never leaves the scan stage.
+    """
+    spans = F.col(spans_col)
+
+    def is_heading(s: Column) -> Column:
+        return s["kind"].startswith(heading_prefix)
+
+    # per-span section id: headings counted over the prefix INCLUDING the
+    # span itself, so a heading starts its own section
+    tagged = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s.alias("s"),
+            F.size(F.filter(F.slice(spans, 1, i + 1), is_heading)).alias(
+                "sec"
+            ),
+        ),
+    )
+    sections = F.transform(
+        F.array_distinct(F.transform(tagged, lambda t: t["sec"])),
+        lambda sec: F.struct(
+            sec.cast("long").alias("section_id"),
+            F.get(
+                F.filter(
+                    tagged,
+                    lambda t: (t["sec"] == sec) & is_heading(t["s"]),
+                ),
+                0,
+            )["s"]["text"].alias("heading"),
+            F.size(F.filter(tagged, lambda t: t["sec"] == sec))
+            .cast("long")
+            .alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        tagged,
+                        lambda t: (t["sec"] == sec) & _is_text(t["s"]),
+                    ),
+                    lambda t: t["s"]["text"],
+                ),
+                "\n",
+            ).alias("text"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias(id_col), F.explode(sections).alias("c")
+    ).select(
+        id_col,
+        F.col("c.section_id").alias("section_id"),
+        F.col("c.heading").alias("heading"),
+        F.col("c.n_spans").alias("n_spans"),
+        F.col("c.text").alias("text"),
     )
 
 

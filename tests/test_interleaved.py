@@ -163,3 +163,123 @@ class TestPackInterleaved:
             interleaved.pack_interleaved(corpus, budget=0)
         with pytest.raises(ValueError):
             interleaved.pack_interleaved(corpus, budget=10, media_cost=-1)
+
+
+def _ospans(*specs):
+    # specs: (kind, text, ref) with offsets assigned in order
+    return [
+        Row(kind=k, text=t, media_ref=r, offset=i)
+        for i, (k, t, r) in enumerate(specs)
+    ]
+
+
+class TestMediaContextPairs:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return _docs(
+            spark,
+            [
+                (
+                    "https://h0/a",
+                    _ospans(
+                        ("heading1", "Title A", None),
+                        ("paragraph", "intro text", None),
+                        ("image", None, "https://h0/1.png"),
+                        ("paragraph", "outro text", None),
+                        ("image", None, "https://h0/2.png"),
+                        ("link", "anchor", "https://h0/b"),
+                    ),
+                ),
+                (
+                    # media-first doc: no text before; link must NOT count
+                    # as following context
+                    "https://h0/b",
+                    _ospans(
+                        ("image", None, "https://h0/3.png"),
+                        ("link", "nav", "https://h0/a"),
+                        ("paragraph", "caption below", None),
+                    ),
+                ),
+                ("https://h0/c", _ospans(("paragraph", "no media", None))),
+            ],
+        )
+
+    def test_contexts(self, spark, docs):
+        got = {
+            (r["url"], r["media_ref"]): (
+                r["context_before"], r["context_after"])
+            for r in interleaved.media_context_pairs(docs).collect()
+        }
+        assert got == {
+            ("https://h0/a", "https://h0/1.png"): ("intro text", "outro text"),
+            # nearest AFTER 2.png is nothing (link excluded); before is outro
+            ("https://h0/a", "https://h0/2.png"): ("outro text", None),
+            # media-first: no before; link skipped, paragraph is after
+            ("https://h0/b", "https://h0/3.png"): (None, "caption below"),
+        }
+
+    def test_no_media_doc_emits_nothing(self, spark, docs):
+        urls = {r["url"]
+                for r in interleaved.media_context_pairs(docs).collect()}
+        assert "https://h0/c" not in urls
+
+    def test_scan_only_until_explode(self, spark, docs):
+        plan = (interleaved.media_context_pairs(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan  # no shuffle anywhere
+
+
+class TestSectionChunks:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return _docs(
+            spark,
+            [
+                (
+                    "https://h0/a",
+                    _ospans(
+                        ("paragraph", "preamble", None),      # section 0
+                        ("heading1", "H1", None),             # section 1
+                        ("paragraph", "one", None),
+                        ("image", None, "https://h0/1.png"),
+                        ("heading2", "H2", None),             # section 2
+                        ("paragraph", "two", None),
+                        ("link", "nav", "https://h0/b"),
+                    ),
+                ),
+                ("https://h0/b", _ospans(("heading1", "only", None))),
+                ("https://h0/empty", []),
+            ],
+        )
+
+    def test_sections(self, spark, docs):
+        rows = {
+            (r["url"], r["section_id"]): r
+            for r in interleaved.section_chunks(docs).collect()
+        }
+        pre = rows[("https://h0/a", 0)]
+        assert pre["heading"] is None
+        assert (pre["n_spans"], pre["text"]) == (1, "preamble")
+        s1 = rows[("https://h0/a", 1)]
+        # heading + paragraph + image = 3 spans; image adds no text
+        assert (s1["heading"], s1["n_spans"], s1["text"]) == (
+            "H1", 3, "H1\none")
+        s2 = rows[("https://h0/a", 2)]
+        # link counts as a span but never contributes text
+        assert (s2["heading"], s2["n_spans"], s2["text"]) == (
+            "H2", 3, "H2\ntwo")
+        assert rows[("https://h0/b", 1)]["text"] == "only"
+
+    def test_empty_doc_emits_nothing(self, spark, docs):
+        urls = {r["url"] for r in interleaved.section_chunks(docs).collect()}
+        assert "https://h0/empty" not in urls
+
+    def test_no_preamble_means_no_section_zero(self, spark, docs):
+        ids = {r["section_id"] for r in interleaved.section_chunks(docs)
+               .filter("url = 'https://h0/b'").collect()}
+        assert ids == {1}
+
+    def test_scan_only_until_explode(self, spark, docs):
+        plan = (interleaved.section_chunks(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
