@@ -58,6 +58,7 @@ from crawler_to_md_spark.operators import schedule
 from crawler_to_md_spark.operators.politeness import (
     Pacer,
     global_cap,
+    host_priority_join,
     politeness_cap,
     robots_filter,
 )
@@ -242,6 +243,10 @@ class CrawlEngine:
                      "metrics": METRICS_SCHEMA, "robots": ROBOTS_SCHEMA},
         )
         self.robots = robots
+        # optional host-authority queue discipline (linkgraph.pagerank →
+        # rank_to_priority → set_host_priority); None = BFS depth order
+        self.host_priority: DataFrame | None = None
+        self._host_priority_hint: int | None = None
         # injectable for sleep-math tests (reference scraper.py:428-475)
         self.pacer = pacer or Pacer(self.config.rate_limit, self.config.delay)
         self._corpus_path = os.path.join(warehouse_dir, "corpus")
@@ -291,6 +296,20 @@ class CrawlEngine:
         if version is None:
             return None
         return self._seen_store_cls().open(self._bloom_dir(), version)
+
+    def set_host_priority(self, priorities: DataFrame,
+                          n_hosts: int | None = None) -> None:
+        """Install a host-authority queue discipline: ``priorities`` is
+        ``(host, priority)`` — lower dequeues first (typically
+        ``linkgraph.rank_to_priority(linkgraph.pagerank(...))``, so
+        high-authority hosts are fetched before the long tail).  Ties
+        break by (depth, url) as before; hosts absent from the table
+        dequeue last.  ``n_hosts`` is the broadcast-vs-shuffle hint
+        (politeness.host_priority_join); pass the table's host count when
+        it may exceed ROBOTS_BROADCAST_MAX."""
+        self.host_priority = priorities.select(
+            "host", F.col("priority").cast("long").alias("priority"))
+        self._host_priority_hint = n_hosts
 
     # ------------------------------------------------------------------
     # seeding (scraper.py:375-402 + utils.py:94-106 order-dedup)
@@ -423,7 +442,8 @@ class CrawlEngine:
             # hosts, shuffled left join above (politeness.py).
             pending = robots_filter(pending, self.robots,
                                     self._robots_host_count())
-        pending = pending.withColumn("priority", F.col("depth"))
+        pending = host_priority_join(pending, self.host_priority,
+                                     self._host_priority_hint)
 
         if cfg.host_budget is not None:
             batch = politeness_cap(pending, cfg.host_budget, cfg.salt_shards)

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions.urlkit import url_host
 
-__all__ = ["host_edges", "pagerank", "pagerank_base"]
+__all__ = ["host_edges", "pagerank", "pagerank_base", "rank_to_priority"]
 
 
 def pagerank_base(unit: int, damp_num: int, damp_den: int) -> int:
@@ -141,6 +141,17 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def rank_to_priority(ranks: DataFrame) -> DataFrame:
+    """Turn ``pagerank`` output into the frontier's dequeue-priority table
+    ``(host, priority)``: higher authority → lower priority value →
+    dequeued first (install with ``CrawlEngine.set_host_priority``).
+    Negation keeps the integer exactness — no float rescaling."""
+    return ranks.select(
+        F.col("node").alias("host"),
+        (-F.col("rank")).cast("long").alias("priority"),
+    )
 
 
 def python_pagerank(

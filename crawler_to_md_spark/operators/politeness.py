@@ -145,6 +145,50 @@ def robots_allowed(url: Column, disallow: Column) -> Column:
 ROBOTS_BROADCAST_MAX = 1_000_000
 
 
+# Unranked hosts sort after every ranked one (a fresh host has no authority
+# signal yet); large enough that no negated PageRank micro-unit rank — ranks
+# are bounded by n_nodes * unit < 2^63 — can collide with it.
+HOST_PRIORITY_UNRANKED = 2**62
+
+
+def host_priority_join(
+    pending: DataFrame,
+    priorities: DataFrame | None,
+    n_hosts_hint: int | None = None,
+) -> DataFrame:
+    """Attach the dequeue ``priority`` column to a frontier batch.
+
+    ``priorities`` is a per-host table ``(host, priority)`` — lower
+    dequeues first (e.g. ``linkgraph.rank_to_priority``'s negated PageRank
+    micro-units, so high-authority hosts are crawled first).  ``None``
+    keeps the default queue discipline: BFS depth.  Hosts absent from the
+    table get ``HOST_PRIORITY_UNRANKED`` (after every ranked host); ties
+    still break by (depth, url) via PRIORITY_COLS.
+
+    Same join-strategy contract as ``robots_filter``: the table is
+    O(distinct hosts), so it is broadcast at or below
+    ``ROBOTS_BROADCAST_MAX`` covered hosts and pinned to a shuffled-hash
+    join above (a domain-unbounded crawl has 10^7-10^8 hosts — never
+    re-promote to a tens-of-GB broadcast)."""
+    if priorities is None:
+        return pending.withColumn("priority", F.col("depth"))
+    prio = priorities.select(
+        "host", F.col("priority").cast("long").alias("__hp")
+    )
+    if n_hosts_hint is None or n_hosts_hint <= ROBOTS_BROADCAST_MAX:
+        prio = F.broadcast(prio)
+    else:
+        prio = prio.hint("shuffle_hash")
+    return (
+        pending.join(prio, "host", "left")
+        .withColumn(
+            "priority",
+            F.coalesce(F.col("__hp"), F.lit(HOST_PRIORITY_UNRANKED)),
+        )
+        .drop("__hp")
+    )
+
+
 def robots_filter(
     batch: DataFrame,
     robots: DataFrame | None,

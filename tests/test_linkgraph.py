@@ -113,3 +113,72 @@ class TestHostEdges:
             iterations=4)
         assert ranks == expected
         assert ranks["y.com"] > ranks["z.com"]
+
+
+class TestHostPriorityJoin:
+    @pytest.fixture(scope="class")
+    def pending(self, spark):
+        rows = [("https://a.com/1", "a.com", 2),
+                ("https://b.com/1", "b.com", 0),
+                ("https://c.com/1", "c.com", 1)]
+        return spark.createDataFrame(rows, "url string, host string, depth int")
+
+    def test_none_is_bfs_depth(self, spark, pending):
+        from crawler_to_md_spark.operators.politeness import host_priority_join
+        got = {r["url"]: r["priority"]
+               for r in host_priority_join(pending, None).collect()}
+        assert got == {"https://a.com/1": 2, "https://b.com/1": 0,
+                       "https://c.com/1": 1}
+
+    def test_join_and_unranked_last(self, spark, pending):
+        from crawler_to_md_spark.operators.politeness import (
+            HOST_PRIORITY_UNRANKED, host_priority_join)
+        prio = spark.createDataFrame(
+            [("a.com", -500), ("c.com", -900)], "host string, priority long")
+        got = {r["host"]: r["priority"]
+               for r in host_priority_join(pending, prio).collect()}
+        assert got == {"a.com": -500, "c.com": -900,
+                       "b.com": HOST_PRIORITY_UNRANKED}
+
+    def test_broadcast_below_threshold_shuffle_above(self, spark, pending):
+        from crawler_to_md_spark.operators.politeness import (
+            ROBOTS_BROADCAST_MAX, host_priority_join)
+        prio = spark.createDataFrame(
+            [("a.com", -1)], "host string, priority long")
+        below = host_priority_join(pending, prio, n_hosts_hint=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in below
+        above = host_priority_join(
+            pending, prio, n_hosts_hint=ROBOTS_BROADCAST_MAX + 1) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in above
+        assert "ShuffledHashJoin" in above
+
+
+class TestEnginePriorityDiscipline:
+    def test_pagerank_priority_changes_dequeue_order(
+            self, spark, tmp_path_factory):
+        from crawler_to_md_spark.operators.crawl import (
+            CrawlConfig, CrawlEngine)
+        from crawler_to_md_spark.sources import corpus as corpus_mod
+
+        corpus_df = corpus_mod.synth_corpus(
+            spark, "/root/testdata/sf0.001", replicas=1)
+        wh = str(tmp_path_factory.mktemp("prio") / "wh")
+        eng = CrawlEngine(
+            spark, wh, corpus=corpus_df,
+            config=CrawlConfig(scope_domain="example.com",
+                               discover_links=False, global_budget=1))
+        # g=1 -> h0, g=2 -> h3, g=3 -> h4; all class ok
+        seeds = [corpus_mod.python_url(g) for g in (1, 2, 3)]
+        assert eng.seed(seeds) == 3
+        # authority order reverses the default (depth, url) order:
+        # h4 first, then h3; h0 is unranked -> last
+        prio = spark.createDataFrame(
+            [("h4.example.com", -900), ("h3.example.com", -500)],
+            "host string, priority long")
+        eng.set_host_priority(prio)
+        eng.run_to_completion()
+        batch = {r["url"]: r["batch_id"] for r in eng.docs().collect()}
+        u1, u2, u3 = seeds
+        assert batch[u3] < batch[u2] < batch[u1]
