@@ -903,6 +903,38 @@ def _q_priority_schedule(spark, sf_dir):
     return batch.select("url", "host", "priority", "depth")
 
 
+def _q_adaptive_schedule(spark, sf_dir):
+    """Adaptive politeness: per-host wave budgets derived from the
+    ENGINE'S OWN failure record (politeness.adaptive_host_budgets —
+    exponential backoff, budget = max(1, 8 >> min(n_failed, 5))), applied
+    through the skew-bounded salted two-phase per-host cap
+    (politeness_cap_per_host, 4 salt shards) + the global
+    TakeOrderedAndProject (cap 80).  The oracle recomputes the failed-host
+    counts from the reach + failure-class formulas and replays the
+    textbook unsalted ROW_NUMBER top-b(host) form."""
+    from crawler_to_md_spark.operators.politeness import (
+        adaptive_host_budgets,
+        global_cap,
+        politeness_cap_per_host,
+    )
+
+    eng = _engine(spark, sf_dir)
+    budgets = adaptive_host_budgets(
+        eng.docs().filter("status = 'failed'"), base_budget=8)
+    frontier = _corpus_df(spark, sf_dir).select(
+        "url", "host",
+        F.xxhash64("url").alias("url_hash"),
+        (F.col("page_id") % 3).cast("long").alias("priority"),
+        (F.col("page_id") % 5).cast("long").alias("depth"),
+    )
+    batch = global_cap(
+        politeness_cap_per_host(frontier, budgets, default_budget=8,
+                                salt_shards=4),
+        80,
+    )
+    return batch.select("url", "host", "priority", "depth")
+
+
 def _q_crawl_training_shards(spark, sf_dir):
     """End-to-end training-data pipeline FROM THE CRAWL: successfully
     fetched pages -> span->markdown serialization (the interleaved
@@ -1145,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "media_context": _q_media_context,
         "section_chunks": _q_section_chunks,
+        "adaptive_schedule": _q_adaptive_schedule,
     }
 
 
@@ -1461,6 +1494,39 @@ def oracle_sql() -> dict[str, str]:
                    round(n_media * 100 / greatest(n_text_tokens, 1), 6)
                        AS media_per_100_tokens
             FROM pages
+        """,
+        "adaptive_schedule": f"""
+            {_reach_cte()},
+            failed_hosts AS (
+                SELECT {corpus.HOST_SQL.format(g='m.g')} AS host,
+                       count(*) AS nf
+                FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+                WHERE m.cls IN ('http500', 'http429', 'empty', 'missing')
+                GROUP BY 1
+            ),
+            budgets AS (
+                SELECT host,
+                       GREATEST(1, 8 // CAST(pow(2, LEAST(nf, 5)) AS BIGINT))
+                           AS b
+                FROM failed_hosts
+            ),
+            frontier AS (
+                SELECT url, host,
+                       CAST(g % 3 AS BIGINT) AS priority,
+                       CAST(g % 5 AS BIGINT) AS depth
+                FROM corpus_meta WHERE cls <> 'missing'
+            ),
+            ranked AS (
+                SELECT f.*, COALESCE(b.b, 8) AS b,
+                       row_number() OVER (
+                           PARTITION BY f.host
+                           ORDER BY priority, depth, url) AS rn
+                FROM frontier f LEFT JOIN budgets b USING (host)
+            )
+            SELECT url, host, priority, depth FROM ranked
+            WHERE rn <= b
+            ORDER BY priority, depth, url
+            LIMIT 80
         """,
         "media_context": f"""
             {_reach_cte()},

@@ -60,6 +60,7 @@ from crawler_to_md_spark.operators.politeness import (
     global_cap,
     host_priority_join,
     politeness_cap,
+    politeness_cap_per_host,
     robots_filter,
 )
 from crawler_to_md_spark.operators.seq import with_ordered_seq
@@ -247,6 +248,10 @@ class CrawlEngine:
         # rank_to_priority → set_host_priority); None = BFS depth order
         self.host_priority: DataFrame | None = None
         self._host_priority_hint: int | None = None
+        # optional per-host adaptive wave budgets (crawl_delay_budgets /
+        # adaptive_host_budgets); None = uniform config.host_budget
+        self.host_budgets: DataFrame | None = None
+        self._host_budgets_hint: int | None = None
         # injectable for sleep-math tests (reference scraper.py:428-475)
         self.pacer = pacer or Pacer(self.config.rate_limit, self.config.delay)
         self._corpus_path = os.path.join(warehouse_dir, "corpus")
@@ -310,6 +315,18 @@ class CrawlEngine:
         self.host_priority = priorities.select(
             "host", F.col("priority").cast("long").alias("priority"))
         self._host_priority_hint = n_hosts
+
+    def set_host_budgets(self, budgets: DataFrame,
+                         n_hosts: int | None = None) -> None:
+        """Install per-host adaptive wave budgets: ``budgets`` is
+        ``(host, budget)`` (politeness.crawl_delay_budgets from robots
+        Crawl-delay, or politeness.adaptive_host_budgets from the previous
+        run's failures).  Hosts absent from the table keep the uniform
+        ``config.host_budget`` (None = uncapped).  ``n_hosts`` is the
+        broadcast-vs-shuffle hint, as in set_host_priority."""
+        self.host_budgets = budgets.select(
+            "host", F.col("budget").cast("int").alias("budget"))
+        self._host_budgets_hint = n_hosts
 
     # ------------------------------------------------------------------
     # seeding (scraper.py:375-402 + utils.py:94-106 order-dedup)
@@ -445,7 +462,13 @@ class CrawlEngine:
         pending = host_priority_join(pending, self.host_priority,
                                      self._host_priority_hint)
 
-        if cfg.host_budget is not None:
+        if self.host_budgets is not None:
+            # adaptive per-host budgets (Crawl-delay / failure backoff);
+            # hosts absent from the table fall back to the uniform budget
+            batch = politeness_cap_per_host(
+                pending, self.host_budgets, cfg.host_budget,
+                cfg.salt_shards, self._host_budgets_hint)
+        elif cfg.host_budget is not None:
             batch = politeness_cap(pending, cfg.host_budget, cfg.salt_shards)
         else:
             batch = pending

@@ -57,6 +57,125 @@ def politeness_cap(
     )
 
 
+# per-host budget for hosts absent from a budgets table when no default is
+# given: effectively uncapped (larger than any real wave)
+HOST_BUDGET_UNCAPPED = 1 << 31
+
+
+def politeness_cap_per_host(
+    pending: DataFrame,
+    budgets: DataFrame,
+    default_budget: int | None = None,
+    salt_shards: int = 8,
+    n_hosts_hint: int | None = None,
+    priority_cols: list[str] | None = None,
+) -> DataFrame:
+    """``politeness_cap`` with a PER-HOST budget table ``(host, budget)``
+    — the adaptive-politeness form: a host declaring ``Crawl-delay: 30``
+    (``crawl_delay_budgets``) or answering 429/5xx
+    (``adaptive_host_budgets``) gets a smaller wave allowance than a
+    healthy one.  Hosts absent from the table get ``default_budget``
+    (None = uncapped).
+
+    Exactness under the same two-phase argument as ``politeness_cap``:
+    any row in its host's true top-``b(h)`` is in its salt shard's
+    top-``b(h)``, so phase 1 never discards a winner; phase 2 sees at
+    most ``salt_shards * b(h)`` rows per host.  The budgets table is
+    O(distinct hosts) — broadcast at or below ``ROBOTS_BROADCAST_MAX``,
+    pinned shuffled-hash above (the robots_filter contract)."""
+    order = [F.col(c) for c in (priority_cols or PRIORITY_COLS)
+             if c in pending.columns]
+    b = budgets.select("host", F.col("budget").cast("int").alias("__hb"))
+    if n_hosts_hint is None or n_hosts_hint <= ROBOTS_BROADCAST_MAX:
+        b = F.broadcast(b)
+    else:
+        b = b.hint("shuffle_hash")
+    dflt = int(default_budget) if default_budget is not None \
+        else HOST_BUDGET_UNCAPPED
+    salted = (
+        pending.join(b, "host", "left")
+        .withColumn("__b", F.coalesce(F.col("__hb"), F.lit(dflt)))
+        .withColumn(
+            "__salt", F.pmod(F.col("url_hash"), F.lit(salt_shards)).cast("int")
+        )
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("__b"))
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("__b"))
+        .drop("__r2", "__salt", "__hb", "__b")
+    )
+
+
+def crawl_delay_budgets(
+    delays: DataFrame,
+    window_seconds: float = 60.0,
+    max_budget: int | None = None,
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+) -> DataFrame:
+    """Turn per-host ``Crawl-delay`` seconds (sources/robots.py
+    ``parse_crawl_delay``) into wave budgets for a ``window_seconds``
+    dequeue cadence: ``max(1, floor(window / delay))`` requests per wave.
+    NULL / non-positive delays are dropped (those hosts fall back to the
+    cap's ``default_budget``); ``max_budget`` optionally clamps the top."""
+    out = (
+        delays.filter(
+            F.col(delay_col).isNotNull() & (F.col(delay_col) > 0)
+        )
+        .select(
+            F.col(host_col).alias("host"),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(window_seconds)) / F.col(delay_col))
+                .cast("int"),
+            ).alias("budget"),
+        )
+    )
+    if max_budget is not None:
+        out = out.withColumn(
+            "budget", F.least(F.col("budget"), F.lit(int(max_budget)))
+        )
+    return out
+
+
+def adaptive_host_budgets(
+    failed_docs: DataFrame,
+    base_budget: int,
+    floor: int = 1,
+    max_halvings: int = 5,
+    url_col: str = "url",
+) -> DataFrame:
+    """Exponential-backoff budgets from observed per-host failures:
+    ``budget = max(floor, base_budget >> min(n_failed, max_halvings))``.
+    Feed it the engine's failed docs (``docs().filter("status =
+    'failed'")``) between runs — hosts that answered 429/5xx/timeouts get
+    their next-run wave allowance halved per failure.  One
+    partial-aggregated shuffle of (host, count); integer arithmetic so
+    the budgets are engine-reproducible."""
+    return (
+        failed_docs.select(urlkit.url_host(F.col(url_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("__nf"))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(int(floor)),
+                F.expr(
+                    f"CAST({int(base_budget)} AS INT) div "
+                    f"CAST(pow(2, least(__nf, {int(max_halvings)})) AS INT)"
+                ),
+            ).cast("int").alias("budget"),
+        )
+    )
+
+
 def global_cap(batch: DataFrame, limit: int | None,
                priority_cols: list[str] | None = None) -> DataFrame:
     """Reference LIMIT-batched dequeue (database_manager.py:217-224) as a

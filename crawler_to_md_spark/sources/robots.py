@@ -42,19 +42,18 @@ from crawler_to_md_spark.sources.fetch import FetchPolicy, Transport
 ROBOTS_RESULT_DDL = "host string, disallow array<string>"
 
 
-def parse_robots(text: str, agent: str = "*") -> list[str]:
-    """Disallow path prefixes applying to ``agent`` from a robots.txt body.
-
-    Returns the merged prefixes of the most specific matching group(s):
-    the longest ``User-agent`` token that is a substring of ``agent``
-    (case-insensitive), falling back to the ``*`` group(s).  A line's
-    trailing ``#`` comment is stripped; blank lines only end a group's
-    user-agent header run, per RFC 9309 §2.2.
-    """
-    agent_lc = (agent or "*").lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (agent tokens, prefixes)
+def _robots_groups(
+    text: str,
+) -> list[tuple[list[str], list[str], float | None]]:
+    """Parse robots.txt into groups of (agent tokens, disallow prefixes,
+    crawl-delay seconds or None).  A line's trailing ``#`` comment is
+    stripped; blank lines only end a group's user-agent header run, per
+    RFC 9309 §2.2; ``Crawl-delay`` is the de-facto extension most large
+    crawlers honor."""
+    groups: list[tuple[list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[str] | None = None
+    cur_delay: float | None = None
     for raw_line in (text or "").splitlines():
         line = raw_line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -65,8 +64,8 @@ def parse_robots(text: str, agent: str = "*") -> list[str]:
         if field == "user-agent":
             if cur_rules is not None:
                 # a rules run ended: close the group, start a new header run
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], None
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], None, None
             cur_agents.append(value.lower())
         elif field in ("disallow", "allow", "crawl-delay", "sitemap"):
             if field == "sitemap":
@@ -77,26 +76,63 @@ def parse_robots(text: str, agent: str = "*") -> list[str]:
                 cur_rules = []
             if field == "disallow" and value:
                 cur_rules.append(value)
+            elif field == "crawl-delay":
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass             # malformed delay: ignore the line
     if cur_agents:
-        groups.append((cur_agents, cur_rules or []))
+        groups.append((cur_agents, cur_rules or [], cur_delay))
+    return groups
 
-    def specificity(tokens: list[str]) -> int:
-        best = -1
-        for t in tokens:
-            if t == "*":
-                best = max(best, 0)
-            elif t and t in agent_lc:
-                best = max(best, len(t))
-        return best
 
-    best_spec = max((specificity(a) for a, _ in groups), default=-1)
+def _specificity(tokens: list[str], agent_lc: str) -> int:
+    best = -1
+    for t in tokens:
+        if t == "*":
+            best = max(best, 0)
+        elif t and t in agent_lc:
+            best = max(best, len(t))
+    return best
+
+
+def parse_robots(text: str, agent: str = "*") -> list[str]:
+    """Disallow path prefixes applying to ``agent`` from a robots.txt body.
+
+    Returns the merged prefixes of the most specific matching group(s):
+    the longest ``User-agent`` token that is a substring of ``agent``
+    (case-insensitive), falling back to the ``*`` group(s).
+    """
+    agent_lc = (agent or "*").lower()
+    groups = _robots_groups(text)
+    best_spec = max((_specificity(a, agent_lc) for a, _, _ in groups),
+                    default=-1)
     if best_spec < 0:
         return []
     merged: list[str] = []
-    for tokens, rules in groups:
-        if specificity(tokens) == best_spec:
+    for tokens, rules, _ in groups:
+        if _specificity(tokens, agent_lc) == best_spec:
             merged.extend(p for p in rules if p not in merged)
     return merged
+
+
+def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """``Crawl-delay`` seconds applying to ``agent``, or None when the
+    matching group(s) declare none.  Same group selection as
+    ``parse_robots``; when several groups tie on specificity the LARGEST
+    delay wins (the conservative read).  Feeds
+    ``politeness.crawl_delay_budgets`` → per-host wave budgets."""
+    agent_lc = (agent or "*").lower()
+    groups = _robots_groups(text)
+    best_spec = max((_specificity(a, agent_lc) for a, _, _ in groups),
+                    default=-1)
+    if best_spec < 0:
+        return None
+    delays = [
+        d for tokens, _, d in groups
+        if _specificity(tokens, agent_lc) == best_spec and d is not None
+    ]
+    return max(delays) if delays else None
 
 
 def requests_text_transport() -> Transport:
