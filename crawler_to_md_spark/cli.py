@@ -100,6 +100,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "cuckoo (supports deletion for TTL-recrawl/purge); "
                         "a cache must be resumed with the backend it was "
                         "created with")
+    p.add_argument("--host-budgets-parquet", default=None,
+                   help="parquet of per-host adaptive wave budgets "
+                        "(host string, budget int) — e.g. "
+                        "politeness.crawl_delay_budgets output; hosts "
+                        "absent from the table keep the uniform budget")
+    p.add_argument("--rank-hosts", action="store_true", default=False,
+                   help="on resume, PageRank the already-crawled host "
+                        "graph and dequeue high-authority hosts first "
+                        "(operators/linkgraph.py); no effect on a fresh "
+                        "crawl (no graph yet)")
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument("--training-shards-dir", default=None,
                    help="Also materialize the crawled corpus as token-"
@@ -247,7 +257,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                          robots=robots_df,
                          robots_transport_factory=robots_factory,
                          robots_agent="crawler-to-md-spark")
+    if args.host_budgets_parquet:
+        engine.set_host_budgets(spark.read.parquet(args.host_budgets_parquet))
     resume = engine.store.exists()
+    if resume and args.rank_hosts:
+        from crawler_to_md_spark.operators import linkgraph
+
+        ranks = linkgraph.pagerank(
+            linkgraph.host_edges(
+                linkgraph.doc_edges(engine.docs().filter("status = 'ok'"))
+            ),
+            iterations=3,
+        )
+        engine.set_host_priority(linkgraph.rank_to_priority(ranks))
     if not resume:
         engine.seed(seed_df)
         engine.run_to_completion()

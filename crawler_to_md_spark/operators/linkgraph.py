@@ -52,13 +52,48 @@ from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions.urlkit import url_host
 
-__all__ = ["host_edges", "pagerank", "pagerank_base", "rank_to_priority"]
+__all__ = ["doc_edges", "host_edges", "pagerank", "pagerank_base",
+           "rank_to_priority"]
 
 
 def pagerank_base(unit: int, damp_num: int, damp_den: int) -> int:
     """The teleport term ``(unit * (den - num)) div den`` — exposed so
     tests and the SQL oracle share one definition."""
     return (unit * (damp_den - damp_num)) // damp_den
+
+
+def doc_edges(
+    docs: DataFrame,
+    url_col: str = "url",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Page-level edge list ``(src_url, dst_url)`` from crawled documents'
+    link spans: each href resolved against its page URL, canonicalized,
+    http(s)-only, distinct — the same resolve→canonicalize derivation the
+    scheduler runs per wave, here corpus-wide for graph analysis."""
+    from crawler_to_md_spark.functions import urlkit
+
+    return (
+        docs.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.filter(
+                    F.col(spans_col), lambda s: s["kind"] == F.lit("link")
+                )
+            ).alias("s"),
+        )
+        .select(
+            "src_url",
+            urlkit.canonicalize(
+                urlkit.resolve_href(F.col("src_url"), F.col("s.media_ref"))
+            ).alias("dst_url"),
+        )
+        .filter(
+            F.col("dst_url").isNotNull()
+            & urlkit.is_supported_scheme(F.col("dst_url"))
+        )
+        .distinct()
+    )
 
 
 def host_edges(

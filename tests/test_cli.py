@@ -326,3 +326,27 @@ def test_clean_decontaminate_bench(spark, tmp_path, corpus_path):
     kept = {r["url"] for r in spark.read.parquet(shards2).collect()}
     assert victim_url not in kept                # contaminated page gone
     assert kept and kept <= set(base_rows)       # still a clean subset
+
+
+def test_host_budgets_and_rank_hosts_flags(spark, tmp_path, corpus_path):
+    """--host-budgets-parquet throttles h0 on the fresh run; --rank-hosts
+    installs the authority priority on resume (smoke: both paths run to
+    completion and the exports still render)."""
+    budgets_path = str(tmp_path / "budgets.parquet")
+    spark.createDataFrame(
+        [("h0.example.com", 2)], "host string, budget int"
+    ).write.parquet(budgets_path)
+    common = ["--url", corpus.seed_url(),
+              "--base-url", "https://h0.example.com/",
+              "--corpus-parquet", corpus_path, "--title", "Ranked",
+              "--host-budgets-parquet", budgets_path]
+    rc1, out, cache = _run(spark, tmp_path, *common, name="budg")
+    assert rc1 == 0
+    # resume with authority ranking over the crawled graph
+    out2 = str(tmp_path / "out_budg2")
+    rc2 = cli.main(["--output-folder", out2, "--cache-folder", cache,
+                    *common, "--rank-hosts"], spark=spark)
+    assert rc2 == 0
+    sub = os.listdir(out)
+    files = os.listdir(os.path.join(out, sub[0]))
+    assert "Ranked.md" in files
