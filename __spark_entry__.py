@@ -168,6 +168,19 @@ def _q_host_pagerank(spark, sf_dir):
         F.col("node").alias("host"), F.col("rank").alias("rank_units"))
 
 
+def _q_anchor_index(spark, sf_dir):
+    """Anchor-text index (operators/linkgraph.py anchor_text_index): for
+    every link target the top-3 anchor texts the rest of the corpus uses
+    for it, with distinct-(src, anchor, target) citation counts — the
+    classic retrieval/relevance training signal.  Skew-safe: salted
+    two-phase top-k per target (the certified politeness_cap pattern).
+    Oracle re-derives the anchor-labeled edge list forward from the
+    generator formulas and replays the textbook ROW_NUMBER form."""
+    df = _corpus_df(spark, sf_dir).filter(
+        F.col("cls").isin(*corpus.PARSED_CLASSES))
+    return linkgraph.anchor_text_index(df, k=3, scope_domain="example.com")
+
+
 def _pagerank_ctes(iters: int = 3, unit: int = 10**12,
                    num: int = 4, den: int = 5) -> str:
     """DuckDB twin of linkgraph.pagerank: the same integer recurrence
@@ -1178,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_context": _q_media_context,
         "section_chunks": _q_section_chunks,
         "adaptive_schedule": _q_adaptive_schedule,
+        "anchor_index": _q_anchor_index,
     }
 
 
@@ -1494,6 +1508,36 @@ def oracle_sql() -> dict[str, str]:
                    round(n_media * 100 / greatest(n_text_tokens, 1), 6)
                        AS media_per_100_tokens
             FROM pages
+        """,
+        "anchor_index": f"""
+            {_meta_cte()},
+            parsed AS (
+                SELECT g, p_total FROM corpus_meta
+                WHERE cls IN ('ok', 'empty')
+            ),
+            anchor_edges AS (
+                SELECT g AS src, 3*g+1 AS dst, 'child 1' AS anchor
+                FROM parsed WHERE 3*g+1 < p_total
+                UNION ALL SELECT g, 3*g+2, 'child 2'
+                FROM parsed WHERE 3*g+2 < p_total
+                UNION ALL SELECT g, 3*g+3, 'child 3'
+                FROM parsed WHERE 3*g+3 < p_total
+                UNION ALL SELECT g, (7*g+11) % p_total, 'cross' FROM parsed
+                UNION ALL SELECT g, 3*g+1, 'dup of child 1'
+                FROM parsed WHERE g % 5 = 3 AND 3*g+1 < p_total
+            ),
+            cites AS (SELECT DISTINCT src, dst, anchor FROM anchor_edges),
+            anchor_counts AS (
+                SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n_refs
+                FROM cites GROUP BY dst, anchor
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY dst ORDER BY n_refs DESC, anchor) AS rn
+                FROM anchor_counts
+            )
+            SELECT {_sql_url('dst')} AS url, anchor, n_refs
+            FROM ranked WHERE rn <= 3
         """,
         "adaptive_schedule": f"""
             {_reach_cte()},

@@ -52,8 +52,8 @@ from pyspark.sql import functions as F
 
 from crawler_to_md_spark.functions.urlkit import url_host
 
-__all__ = ["doc_edges", "host_edges", "pagerank", "pagerank_base",
-           "rank_to_priority"]
+__all__ = ["anchor_text_index", "doc_edges", "host_edges", "pagerank",
+           "pagerank_base", "rank_to_priority"]
 
 
 def pagerank_base(unit: int, damp_num: int, damp_den: int) -> int:
@@ -176,6 +176,85 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def anchor_text_index(
+    docs: DataFrame,
+    k: int = 5,
+    url_col: str = "url",
+    spans_col: str = "spans",
+    scope_domain: str | None = None,
+    salt_shards: int = 8,
+) -> DataFrame:
+    """Per-target anchor-text index: ``(url, anchor, n_refs)`` — for every
+    link target, its ``k`` most-cited anchor texts with citation counts.
+
+    Anchor text is how the REST of the web describes a page — the classic
+    relevance signal (used for query-document training pairs and retrieval
+    labels).  Citation grain is the distinct (src page, anchor, target)
+    triple, so a page repeating the same link 100× counts once, but two
+    pages using the same words count twice.
+
+    Scale shape: explode link spans → resolve+canonicalize (the
+    scheduler's own derivation) → distinct triples (uniform shuffle: the
+    triple is near-unique) → partial-aggregated count per (target, anchor)
+    → top-``k`` per target via the SALTED two-phase window
+    (politeness_cap's certified pattern — a hot target cited by 10^8 pages
+    with 10^6 distinct anchors never funnels through one task; each salt
+    shard keeps its own top-``k``, the survivors window is ≤
+    ``salt_shards*k`` rows per target).  Ordering (n_refs DESC, anchor)
+    is total, so the result is deterministic."""
+    from crawler_to_md_spark.functions import urlkit
+
+    links = (
+        docs.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.filter(
+                    F.col(spans_col), lambda s: s["kind"] == F.lit("link")
+                )
+            ).alias("s"),
+        )
+        .select(
+            "src_url",
+            F.col("s.text").alias("anchor"),
+            urlkit.canonicalize(
+                urlkit.resolve_href(F.col("src_url"), F.col("s.media_ref"))
+            ).alias("url"),
+        )
+        .filter(
+            F.col("url").isNotNull()
+            & F.col("anchor").isNotNull()
+            & urlkit.is_supported_scheme(F.col("url"))
+        )
+    )
+    if scope_domain:
+        links = links.filter(urlkit.in_scope_domain(F.col("url"),
+                                                    scope_domain))
+    counts = (
+        links.distinct()
+        .groupBy("url", "anchor")
+        .agg(F.count("*").cast("long").alias("n_refs"))
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("n_refs").desc(), F.col("anchor")]
+    salted = counts.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("anchor")), F.lit(salt_shards)).cast("int"),
+    )
+    w1 = Window.partitionBy("url", "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy("url").orderBy(*order)
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+        .drop("__r2", "__salt")
+    )
 
 
 def rank_to_priority(ranks: DataFrame) -> DataFrame:

@@ -182,3 +182,61 @@ class TestEnginePriorityDiscipline:
         batch = {r["url"]: r["batch_id"] for r in eng.docs().collect()}
         u1, u2, u3 = seeds
         assert batch[u3] < batch[u2] < batch[u1]
+
+
+class TestAnchorTextIndex:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        from pyspark.sql import Row
+        from crawler_to_md_spark.store.schemas import SPANS_TYPE
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField("url", StringType(), False),
+                             StructField("spans", SPANS_TYPE)])
+
+        def link(text, ref, off):
+            return Row(kind="link", text=text, media_ref=ref, offset=off)
+
+        rows = [
+            # two pages call /t "guide"; one calls it "docs"; p1 repeats
+            # the same link twice (counts once); p3 links elsewhere
+            ("https://a.com/p1", [link("guide", "https://a.com/t", 0),
+                                  link("guide", "https://a.com/t", 1),
+                                  link("other", "https://a.com/x", 2)]),
+            ("https://a.com/p2", [link("guide", "/t", 0),     # relative
+                                  link("docs", "https://a.com/t", 1)]),
+            ("https://a.com/p3", [link("guide", "mailto:x@y", 0)]),  # junk
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def test_counts_and_dedup(self, spark, docs):
+        got = {(r["url"], r["anchor"]): r["n_refs"]
+               for r in linkgraph.anchor_text_index(docs).collect()}
+        assert got == {
+            ("https://a.com/t", "guide"): 2,   # p1 repeat counted once
+            ("https://a.com/t", "docs"): 1,
+            ("https://a.com/x", "other"): 1,
+        }
+
+    @pytest.mark.parametrize("salt", [1, 4])
+    def test_topk_equals_textbook(self, spark, docs, salt):
+        # k=1 keeps the most-cited anchor, ties broken by anchor text
+        got = {r["url"]: (r["anchor"], r["n_refs"])
+               for r in linkgraph.anchor_text_index(
+                   docs, k=1, salt_shards=salt).collect()}
+        assert got["https://a.com/t"] == ("guide", 2)
+
+    def test_scope_filter(self, spark, docs):
+        from pyspark.sql import Row
+        from crawler_to_md_spark.store.schemas import SPANS_TYPE
+        from pyspark.sql.types import StringType, StructField, StructType
+        schema = StructType([StructField("url", StringType(), False),
+                             StructField("spans", SPANS_TYPE)])
+        rows = [("https://a.com/p", [
+            Row(kind="link", text="in", media_ref="https://a.com/q", offset=0),
+            Row(kind="link", text="out", media_ref="https://b.org/r", offset=1),
+        ])]
+        df = spark.createDataFrame(rows, schema)
+        got = {r["url"] for r in linkgraph.anchor_text_index(
+            df, scope_domain="a.com").collect()}
+        assert got == {"https://a.com/q"}
