@@ -1082,6 +1082,25 @@ class CrawlEngine:
                 .cast("int").alias("b")).distinct().collect()
         })
 
+    def recrawl_due(self, ttl_batches: int) -> DataFrame:
+        """TTL revisit policy: URLs whose last successful fetch is at
+        least ``ttl_batches`` store commits old (``docs.batch_id <=
+        current - ttl``).  Batch ids are the engine's monotonic logical
+        clock — deterministic and resume-stable, unlike wall time.  Feed
+        the result to ``reopen`` (or call ``reopen_due``) and run to
+        refresh stale pages; refetches upsert last-write-wins."""
+        cutoff = self.store.batch_id - int(ttl_batches)
+        return (
+            self.docs()
+            .filter((F.col("status") == "ok")
+                    & (F.col("batch_id") <= cutoff))
+            .select("url")
+        )
+
+    def reopen_due(self, ttl_batches: int) -> int:
+        """``reopen(recrawl_due(ttl))`` — one-call TTL refresh pass."""
+        return self.reopen(self.recrawl_due(ttl_batches))
+
     def reopen(self, urls: "list[str] | DataFrame") -> int:
         """TTL recrawl: mark the given (canonical) URLs unvisited with a
         fresh retry budget, so the next run re-fetches them and upserts

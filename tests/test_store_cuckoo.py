@@ -210,3 +210,27 @@ class TestReopenPurge:
         back = eng.links().filter(F.col("url") == child).collect()
         assert len(back) == 1 and back[0]["visited"]
         assert eng.docs().filter(F.col("url") == child).count() == 1
+
+    def test_recrawl_due_ttl_selection(self, spark, eng):
+        """recrawl_due(ttl) = ok docs whose fetch commit is >= ttl commits
+        old; reopen_due + run refreshes exactly those (batch ids bump,
+        seen set unchanged)."""
+        current = eng.store.batch_id
+        # pages fetched in the first waves are the stalest
+        oldest = eng.docs().filter("status = 'ok'") \
+            .agg(F.min("batch_id")).collect()[0][0]
+        ttl = current - oldest  # due set = exactly the first-wave pages
+        due = eng.recrawl_due(ttl)
+        want = {r["url"] for r in eng.docs().filter(
+            (F.col("status") == "ok") & (F.col("batch_id") <= oldest))
+            .select("url").collect()}
+        assert {r["url"] for r in due.collect()} == want
+        links_before = eng.total_link_count()
+        n = eng.reopen_due(ttl)
+        assert n == len(want)
+        eng.run(resume=True)
+        refreshed = eng.docs().filter(F.col("url").isin(list(want))).collect()
+        assert all(r["batch_id"] > current for r in refreshed)
+        assert eng.total_link_count() == links_before  # seen set unchanged
+        # nothing is due anymore at the same TTL measured from the new head
+        assert eng.recrawl_due(eng.store.batch_id - oldest).count() == 0
