@@ -1104,6 +1104,21 @@ def _q_section_chunks(spark, sf_dir):
     return interleaved.section_chunks(planted, id_col="doc_id")
 
 
+def _q_dup_windows(spark, sf_dir):
+    """Corpus-wide exact-substring duplication (operators/curation.py
+    dup_window_fraction, the ExactSubstr document-level signal): every
+    10-token window keeps its first (id, pos) occurrence corpus-wide;
+    later copies count against their document.  Mirrored copies of every
+    7th document are PLANTED (doc_id + 10^7) so the cross-document path
+    provably fires — mirrors must report dup_fraction 1.0.  Oracle = the
+    readable ROW_NUMBER first-occurrence form over the same planted
+    union."""
+    docs = corpus.load_documents(spark, sf_dir).select("doc_id", "text")
+    mirrors = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return curation.dup_window_fraction(docs.union(mirrors), n=10)
+
+
 def _q_host_quality_gate(spark, sf_dir):
     """Domain-level quality filtering (operators/curation.py
     host_quality_gate): per-host token-mass rollup, hosts whose mean page
@@ -1192,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_chunks": _q_section_chunks,
         "adaptive_schedule": _q_adaptive_schedule,
         "anchor_index": _q_anchor_index,
+        "dup_windows": _q_dup_windows,
     }
 
 
@@ -1509,6 +1525,14 @@ def oracle_sql() -> dict[str, str]:
                        AS media_per_100_tokens
             FROM pages
         """,
+        "dup_windows": curation.duck_dup_window_sql(
+            docs_rel="train", n=10,
+            prelude_ctes="""train AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+            )"""),
         "anchor_index": f"""
             {_meta_cte()},
             parsed AS (

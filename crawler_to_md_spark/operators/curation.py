@@ -530,3 +530,135 @@ def host_quality_gate(
         .select(host_col)
     )
     return docs.join(kept, on=host_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicated-window fraction (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def window_keys(text: Column, n: int = 10) -> Column:
+    """md5-prefix keys of ALL n-token windows of ``text`` in document
+    order (stride 1 — the published exact-substring-dedup grain, Lee et
+    al.'s 50-token windows scaled by the caller).  One trailing partial
+    window survives for T < n (shingle_windows semantics), so every
+    non-empty document has >= 1 window.  md5 compares identically in
+    Spark and DuckDB; 16 hex chars = 64 bits, collision-negligible at
+    10^12 windows."""
+    return F.transform(
+        shingle_windows(text, n), lambda s: F.substring(F.md5(s), 1, 16)
+    )
+
+
+def dup_window_fraction(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact-substring duplication signal per document:
+    ``(id, n_windows, n_dup_windows, dup_fraction)`` where a window is
+    duplicated iff the same n-token window occurs at an EARLIER (id, pos)
+    anywhere in the corpus (the first occurrence is never counted — a
+    document only pays for text some other/earlier document already
+    contains).
+
+    This is the document-level form of exact substring deduplication
+    (ExactSubstr): instead of surgically cutting the repeated bytes, each
+    document reports what fraction of its n-token windows is secondhand;
+    ``drop_window_dups`` applies the threshold policy.
+
+    Skew-proof by the line_dedup construction: the keeper per window key
+    is a combine-safe ``min(struct(id, pos))`` aggregate (the hottest
+    boilerplate window partial-aggregates map-side, never a
+    ``row_number`` straggler task), the dup test is a many-to-one hash
+    join against the one-row-per-key keeper table, and the per-document
+    rollup is a second partial aggregate.  Two shuffles total, both on
+    near-uniform keys."""
+    ex = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(window_keys(F.col(text_col), n)).alias("__pos", "__w"),
+    )
+    keepers = ex.groupBy("__w").agg(
+        F.min(F.struct("__id", "__pos")).alias("__k")
+    )
+    joined = ex.join(keepers, "__w")
+    is_dup = (F.col("__id") != F.col("__k.__id")) | (
+        F.col("__pos") != F.col("__k.__pos")
+    )
+    return (
+        joined.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(is_dup.cast("long")).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )
+
+
+def drop_window_dups(
+    docs: DataFrame,
+    max_fraction: float = 0.5,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove documents whose duplicated-window fraction exceeds
+    ``max_fraction`` (mostly-secondhand text: mirrors, quote farms,
+    templated spam).  Left-semi join against the kept ids; all input
+    columns survive."""
+    kept = (
+        dup_window_fraction(docs, n, id_col, text_col)
+        .filter(F.col("dup_fraction") <= max_fraction)
+        .select(id_col)
+    )
+    return docs.join(kept, on=id_col, how="left_semi")
+
+
+def duck_dup_window_sql(
+    docs_rel: str = "documents",
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin: the readable ROW_NUMBER-first-occurrence form.
+    ``prelude_ctes`` lets the caller plant an input CTE (e.g. a mirrored
+    train set) that ``docs_rel`` then names."""
+    prelude = f"{prelude_ctes}," if prelude_ctes else ""
+    return f"""
+        WITH {prelude} toks AS (
+            SELECT {id_col} AS id,
+                   string_split(trim({text_col}), ' ') AS t
+            FROM {docs_rel}
+        ),
+        win AS (
+            SELECT id,
+                   CAST(unnest(range(0, greatest(len(t) - {n} + 1, 1)))
+                        AS BIGINT) AS pos,
+                   t
+            FROM toks
+        ),
+        keyed AS (
+            SELECT id, pos,
+                   substr(md5(array_to_string(
+                       t[CAST(pos + 1 AS BIGINT) :
+                         CAST(pos + {n} AS BIGINT)], ' ')), 1, 16) AS w
+            FROM win
+        ),
+        flagged AS (
+            SELECT id, pos, w,
+                   row_number() OVER (PARTITION BY w ORDER BY id, pos) AS rn
+            FROM keyed
+        )
+        SELECT id AS {id_col},
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                   AS n_dup_windows,
+               ROUND(count(*) FILTER (WHERE rn > 1) * 1.0 / count(*), 6)
+                   AS dup_fraction
+        FROM flagged GROUP BY id
+    """

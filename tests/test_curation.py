@@ -254,3 +254,49 @@ class TestHostQualityGate:
         # partial agg -> one exchange -> final agg: only (host, count, sum)
         # triples move
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestDupWindowFraction:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "a b c d e f"),          # original
+            (2, "a b c d e f"),          # full mirror of 1
+            (3, "z z a b c d q r"),      # contains 1's "a b c d" window
+            (4, "unique words only here"),
+            (5, "tiny"),                 # T < n: one partial window
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_fractions(self, spark, docs):
+        got = {r["doc_id"]: r for r in
+               curation.dup_window_fraction(docs, n=4).collect()}
+        # doc1: 3 windows, all first occurrences
+        assert (got[1]["n_windows"], got[1]["n_dup_windows"]) == (3, 0)
+        # doc2 mirrors doc1 entirely
+        assert (got[2]["n_windows"], got[2]["n_dup_windows"]) == (3, 3)
+        assert got[2]["dup_fraction"] == 1.0
+        # doc3: 5 windows, exactly "a b c d" is secondhand
+        assert (got[3]["n_windows"], got[3]["n_dup_windows"]) == (5, 1)
+        assert got[4]["n_dup_windows"] == 0
+        # partial-window doc still reports
+        assert got[5]["n_windows"] == 1
+
+    def test_intra_doc_repeat_counts_after_first(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y x y x y")], "doc_id long, text string")
+        got = curation.dup_window_fraction(df, n=2).collect()[0]
+        # windows: "x y","y x","x y","y x","x y" -> 3 dups of the first two
+        assert (got["n_windows"], got["n_dup_windows"]) == (5, 3)
+
+    def test_drop_policy(self, spark, docs):
+        kept = {r["doc_id"] for r in
+                curation.drop_window_dups(docs, max_fraction=0.5, n=4)
+                .collect()}
+        assert kept == {1, 3, 4, 5}   # doc2 (1.0 dup) dropped
+
+    def test_no_window_in_plan(self, spark, docs):
+        # skew discipline: keeper is min(struct), never a row_number window
+        plan = (curation.dup_window_fraction(docs, n=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Window" not in plan
