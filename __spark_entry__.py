@@ -1104,6 +1104,13 @@ def _q_section_chunks(spark, sf_dir):
     return interleaved.section_chunks(planted, id_col="doc_id")
 
 
+def _q_crawl_report(spark, sf_dir):
+    """Per-host coverage/health rollup (CrawlEngine.crawl_report): the
+    operational dashboard over the finished crawl.  Oracle recomputes
+    every column from the reach CTE + class formulas."""
+    return _engine(spark, sf_dir).crawl_report()
+
+
 def _q_dup_windows(spark, sf_dir):
     """Corpus-wide exact-substring duplication (operators/curation.py
     dup_window_fraction, the ExactSubstr document-level signal): every
@@ -1208,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_schedule": _q_adaptive_schedule,
         "anchor_index": _q_anchor_index,
         "dup_windows": _q_dup_windows,
+        "crawl_report": _q_crawl_report,
     }
 
 
@@ -1524,6 +1532,19 @@ def oracle_sql() -> dict[str, str]:
                    round(n_media * 100 / greatest(n_text_tokens, 1), 6)
                        AS media_per_100_tokens
             FROM pages
+        """,
+        "crawl_report": f"""
+            {_reach_cte()}
+            SELECT {corpus.HOST_SQL.format(g='m.g')} AS host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(max(r.depth) AS BIGINT) AS max_depth,
+                   CAST(count(*) FILTER (
+                       WHERE m.cls IN ('ok', 'transient')) AS BIGINT) AS n_ok,
+                   CAST(count(*) FILTER (
+                       WHERE m.cls IN ('http500', 'http429', 'empty',
+                                       'missing')) AS BIGINT) AS n_failed
+            FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
+            GROUP BY 1
         """,
         "dup_windows": curation.duck_dup_window_sql(
             docs_rel="train", n=10,

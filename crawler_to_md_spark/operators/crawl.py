@@ -1082,6 +1082,32 @@ class CrawlEngine:
                 .cast("int").alias("b")).distinct().collect()
         })
 
+    def crawl_report(self) -> DataFrame:
+        """Per-host coverage/health rollup: ``(host, n_urls, max_depth,
+        n_ok, n_failed)`` — the operational dashboard row a crawl
+        operator watches (which domains are draining, which are all
+        errors).  Two partial-aggregated shuffles on ``host`` (frontier
+        and docs sides) + one host-keyed join; hot-host fan-in is
+        absorbed map-side, nothing driver-side."""
+        links = self.links().groupBy("host").agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.max("depth").cast("long").alias("max_depth"),
+        )
+        docs = (
+            self.docs()
+            .select(urlkit.url_host(F.col("url")).alias("host"), "status")
+            .groupBy("host")
+            .agg(
+                F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+                F.sum((F.col("status") == "failed").cast("long"))
+                .alias("n_failed"),
+            )
+        )
+        return (
+            links.join(docs, "host", "left")
+            .fillna(0, subset=["n_ok", "n_failed"])
+        )
+
     def recrawl_due(self, ttl_batches: int) -> DataFrame:
         """TTL revisit policy: URLs whose last successful fetch is at
         least ``ttl_batches`` store commits old (``docs.batch_id <=
