@@ -132,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "per page (default 10)")
     p.add_argument("--clean-threshold", type=float, default=0.5,
                    help="--clean near-dup Jaccard threshold (default 0.5)")
+    p.add_argument("--clean-dup-window", type=float, default=None,
+                   help="with --clean: also drop documents whose "
+                        "corpus-wide duplicated-10-token-window fraction "
+                        "exceeds this (ExactSubstr document-level stage)")
     p.add_argument("--decontaminate-bench", default=None,
                    help="Parquet of benchmark documents (a 'text' column); "
                         "with --clean, training docs sharing any "
@@ -342,6 +346,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 pairs="lsh",   # the probabilistic 10^10-doc scale path;
                                # the exact form backs the oracle query
                 bench=bench, decontam_k=args.decontaminate_k,
+                max_dup_window=args.clean_dup_window,
             ).drop("__did")
         exports.export_training_shards(
             ok_docs, budget=args.token_budget,

@@ -616,8 +616,11 @@ def clean_pipeline(
     max_bucket: int = 50,
     bench: DataFrame | None = None,
     decontam_k: int = 13,
+    max_dup_window: float | None = None,
+    dup_window_n: int = 10,
 ) -> DataFrame:
-    """Gate -> [decontaminate] -> exact dedup -> near-dup collapse -> drop.
+    """Gate -> [decontaminate] -> exact dedup -> [ExactSubstr drop] ->
+    near-dup collapse -> drop.
 
     Stages (each individually oracle-gated elsewhere; the composition is
     certified end-to-end by the ``crawl_clean_shards`` entry query):
@@ -646,6 +649,14 @@ def clean_pipeline(
     any shuffle): training docs sharing a ``decontam_k``-word shingle with
     the benchmark frame are dropped (operators/curation.decontaminate —
     benchmark grams broadcast, so the stage costs one map-side join).
+
+    ``max_dup_window`` adds the ExactSubstr document-level stage between
+    exact dedup and the pair stage: documents whose corpus-wide
+    duplicated-``dup_window_n``-token-window fraction exceeds the
+    threshold are dropped (operators/curation.drop_window_dups) — run
+    after exact dedup so byte-identical copies don't inflate the window
+    statistics, before the pair stage so mostly-secondhand documents
+    never reach the quadratic candidate generation.
     """
     from crawler_to_md_spark.operators.textstats import token_count
 
@@ -663,6 +674,13 @@ def clean_pipeline(
         F.min(id_col).alias(id_col)
     )
     survivors = gated.join(keepers, ["__digest", id_col]).drop("__digest")
+    if max_dup_window is not None:
+        from crawler_to_md_spark.operators import curation
+
+        survivors = curation.drop_window_dups(
+            survivors, max_fraction=max_dup_window, n=dup_window_n,
+            id_col=id_col, text_col=text_col,
+        )
 
     pair_input = survivors.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
@@ -700,6 +718,8 @@ def clean_shards(
     approx_rows: int | None = None,
     bench: DataFrame | None = None,
     decontam_k: int = 13,
+    max_dup_window: float | None = None,
+    dup_window_n: int = 10,
 ) -> DataFrame:
     """:func:`clean_pipeline` -> token-budget shard packing: the one-shot
     crawl-to-training-shards cleaning statement (gate, optional benchmark
@@ -712,6 +732,7 @@ def clean_shards(
         docs, text_col=text_col, id_col=id_col, min_tokens=min_tokens,
         threshold=threshold, k=k, pairs=pairs, max_df=max_df,
         bench=bench, decontam_k=decontam_k,
+        max_dup_window=max_dup_window, dup_window_n=dup_window_n,
     )
     return pack_shards(
         cleaned, budget=budget, text_col=text_col,

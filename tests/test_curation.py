@@ -300,3 +300,26 @@ class TestDupWindowFraction:
         plan = (curation.dup_window_fraction(docs, n=4)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Window" not in plan
+
+
+class TestCleanPipelineDupWindowStage:
+    def test_exact_substr_stage_drops_mirrors_only(self, spark):
+        from crawler_to_md_spark.operators.dedup import clean_pipeline
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, base + " one two three four five"),
+            # near-mirror of 1 but not byte-identical: survives exact
+            # dedup, dies in the dup-window stage (mostly secondhand)
+            (2, base + " one two three four five extra"),
+            (3, "completely different words in this document body here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = sorted(r["doc_id"] for r in clean_pipeline(
+            docs, min_tokens=3, threshold=0.99, k=3,
+            max_dup_window=0.5, dup_window_n=4).collect())
+        assert kept == [1, 3]
+        # stage off: doc 2 survives (threshold .99 keeps near-dup stage out)
+        kept_off = sorted(r["doc_id"] for r in clean_pipeline(
+            docs, min_tokens=3, threshold=0.99, k=3).collect())
+        assert kept_off == [1, 2, 3]
