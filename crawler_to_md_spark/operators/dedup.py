@@ -527,16 +527,17 @@ def connected_components(
 
     Near-dup pair lists are the input this exists for: pair output alone
     cannot drive removal (A~B, B~C must collapse to ONE keeper, not two).
-    Convergence runs ``check_every`` star-pair rounds per driver
-    round-trip: the fixpoint test is monotone-safe (star rounds are
-    idempotent at the fixpoint, so an overshoot round is a no-op) and at
-    10^9-edge graphs the per-round blocking collect is the fixed cost
-    worth batching.  Each executed block is localCheckpoint-truncated so
-    the plan stays flat — iterative self-joins otherwise double the
-    lineage every round.  Convergence is detected on (count, xxhash64-sum)
-    of the canonical edge set.  Returns one row per node that appears in
-    ``pairs``: (node, component) where component = min doc_id of the
-    cluster.
+    EVERY round is localCheckpoint-truncated: the star rounds scan their
+    input 3-4x (symmetrize union + groupBy + join), so an unmaterialized
+    round re-executes the whole upstream plan multiplicatively — deferring
+    the checkpoint is exponential work, measured 12x wall on the bench
+    corpus.  What IS batched is the convergence probe: the fixpoint test
+    runs every ``check_every`` rounds (monotone-safe — star rounds are
+    idempotent at the fixpoint, so overshoot rounds are no-ops), saving
+    one blocking aggregate job per skipped probe at 10^9-edge scale.
+    Convergence is detected on (count, xxhash64-sum) of the canonical edge
+    set.  Returns one row per node that appears in ``pairs``:
+    (node, component) where component = min doc_id of the cluster.
     """
     check_every = max(1, check_every)
     e = (
@@ -548,10 +549,9 @@ def connected_components(
     prev: tuple | None = None
     converged = False
     for it in range(max_iter):
-        e = _small_star(_large_star(e))
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         if (it + 1) % check_every and it + 1 < max_iter:
-            continue  # defer materialization: next round builds on the plan
-        e = e.localCheckpoint(eager=True)
+            continue  # skip the probe job, not the materialization
         got = e.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal accumulator: full-range int64 hashes overflow a long
