@@ -280,7 +280,11 @@ def stage_dedup(spark, sf_dir) -> dict:
     from crawler_to_md_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus_df = dedup.dup_corpus(docs).persist()
+    # repartition: the sf corpus is ONE parquet file (and the planted-dup
+    # union three map partitions), so without this the scan-side shingle
+    # work runs ~3-wide regardless of cores — a real 100 TB corpus arrives
+    # in thousands of files, which this models
+    corpus_df = dedup.dup_corpus(docs).repartition(64).persist()
     n = corpus_df.count()
     for _ in range(2):   # warm JIT + python workers; report second pass
         t0 = time.time()
@@ -306,11 +310,13 @@ def stage_curation(spark, sf_dir) -> dict:
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
     reps = int(os.environ.get("CMS_CURATION_REPLICAS", "100"))
+    # repartition: the one-file sf corpus explodes into ONE map partition,
+    # which would serialize the Arrow UDF / scan work onto a single core
     docs = base.withColumn(
         "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
     ).select(
         (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"), "text"
-    ).persist()
+    ).repartition(64).persist()
     n = docs.count()
     bench = base.filter(F.col("doc_id") % 10 == 7)
     for _ in range(2):   # warm JIT + python workers; report second pass
@@ -344,7 +350,7 @@ def stage_quality(spark, sf_dir) -> dict:
     ).select(
         (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
         "lang", "text",
-    ).persist()
+    ).repartition(64).persist()   # one-file corpus: see stage_curation
     n = docs.count()
     caps = spark.createDataFrame(
         [("en", n // 20), ("de", n // 40), ("fr", n // 40)],
