@@ -1157,6 +1157,36 @@ def _q_pack_shards(spark, sf_dir):
     return pack_shards(docs, budget=2048)
 
 
+def _q_wet_roundtrip(spark, sf_dir):
+    """Bulk-archive ingestion (sources/archive.py): the documents table
+    serialized to a WET-lite archive (native-projection writer, one file
+    per partition) and re-read through the SPLITTABLE record-boundary
+    lineSep scan + Arrow-batched header/payload parse.  Output is the
+    parsed-field + payload-digest view; the oracle recomputes the same
+    view directly from the documents table, so any framing error, octet
+    miscount, or payload corruption in the round trip hash-mismatches."""
+    import tempfile
+
+    from crawler_to_md_spark.sources import archive
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://archive.example.org/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        "lang", "text",
+    ).repartition(8)
+    path = tempfile.mkdtemp(prefix="entry_wet_") + "/wet"
+    archive.write_wet(docs, path, id_col="doc_id", lang_col="lang")
+    return archive.read_wet(spark, path).select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        "url",
+        F.col("language").alias("lang"),
+        "content_length",
+        F.md5("text").alias("digest"),
+        F.col("corrupt").isNotNull().alias("corrupt"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_class_histogram": _q_corpus_class_histogram,
@@ -1216,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_index": _q_anchor_index,
         "dup_windows": _q_dup_windows,
         "crawl_report": _q_crawl_report,
+        "wet_roundtrip": _q_wet_roundtrip,
     }
 
 
@@ -1497,6 +1528,17 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (g % 2 = 0 AND g % 4 <> 0)
         """,
         "pack_shards": packing.duck_pack_shards_sql(budget=2048),
+        "wet_roundtrip": """
+            SELECT doc_id,
+                   'https://archive.example.org/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   lang,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                       AS content_length,
+                   md5(text) AS digest,
+                   false AS corrupt
+            FROM documents
+        """,
         "media_manifest": f"""
             {_reach_cte()}
             SELECT {corpus.IMAGE_REF_SQL.format(g=g)} AS media_ref,

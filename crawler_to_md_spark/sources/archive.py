@@ -1,0 +1,187 @@
+"""WET-style text-archive source: bulk ingestion of crawled page text.
+
+A 100 TB training corpus rarely arrives as a live crawl — it arrives as
+WARC/WET-style archives (Common Crawl's distribution format: a text file of
+concatenated records, each a small header block plus an extracted-text
+payload).  This module reads and writes a WET-lite dialect with Spark's
+``text`` source, so ingestion is fully distributed and SPLITTABLE:
+
+- **Read**: ``spark.read.text(path, lineSep="\\r\\n\\r\\nWARC/1.0\\r\\n")``
+  — Spark splits archive files at arbitrary byte offsets and scans forward
+  to the next record boundary, so ONE multi-gigabyte archive file fans out
+  across executors (the classic Hadoop-WARC input-format trick expressed
+  with a built-in reader, no custom InputFormat).  Each row is then one
+  record: header block, blank line, payload.
+- **Parse**: an Arrow-batched pandas UDF (UDF discipline, SURVEY §7) maps
+  each record fragment to a typed struct.  ``Content-Length`` is the
+  ground truth for the payload boundary, counted in OCTETS of the UTF-8
+  encoding (the WARC rule): the parser encodes, slices ``clen`` bytes,
+  and validates that exactly the record terminator (or end-of-file)
+  remains.
+- **Quarantine, not silence**: a payload that itself contains the record
+  separator splits the fragment mid-record — the halves fail
+  Content-Length / header validation and surface as ``corrupt = true``
+  rows (count them, inspect them, re-route them through a non-splittable
+  path) instead of being silently merged or dropped.  This is the
+  documented trade of the splittable fast path; extracted-TEXT payloads
+  (WET) practically never embed a bare ``WARC/1.0`` line, which is why
+  the ecosystem's splittable WET readers make the same trade.
+
+Reference parity note: the reference engine (msneto/crawler-to-md) has no
+archive source — it fetches live pages one requests.get at a time
+(scraper.py).  This source exists for the mission's scale shape: the same
+downstream pipeline (extraction → cleaning → shards) fed from archived
+crawls instead of sockets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+#: record marker; the read-side lineSep.  A record is MARKER, CRLF header
+#: lines, a blank line, then the payload.
+MARKER = "WARC/1.0"
+_SEP = "\r\n\r\n"
+
+#: headers the writer emits and the parser types.  Unknown headers are
+#: preserved-by-skip (the parser reads what it knows, ignores the rest),
+#: so real WET records with their fuller header set parse unchanged.
+H_URI = "WARC-Target-URI"
+H_ID = "WARC-Record-ID"
+H_LANG = "WARC-Identified-Content-Language"
+H_LEN = "Content-Length"
+
+_PARSED = StructType([
+    StructField("record_id", StringType()),
+    StructField("url", StringType()),
+    StructField("language", StringType()),
+    StructField("content_length", LongType()),
+    StructField("text", StringType()),
+    StructField("corrupt", StringType()),   # NULL = clean, else reason
+])
+
+
+def wet_records(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str | None = None,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """One ``record`` string column per input row — marker, headers, blank
+    line, payload.  ``Content-Length`` is ``octet_length`` of the payload
+    (WARC counts octets, not characters — the unicode tests pin this).
+    Built entirely from native string functions: the writer is a pure
+    projection, no Python on the write path."""
+    parts = [F.lit(MARKER + "\r\n")]
+    if id_col is not None:
+        parts.append(F.concat(F.lit(H_ID + ": "),
+                              F.col(id_col).cast("string"), F.lit("\r\n")))
+    parts.append(F.concat(F.lit(H_URI + ": "),
+                          F.col(url_col).cast("string"), F.lit("\r\n")))
+    if lang_col is not None:
+        parts.append(F.concat(F.lit(H_LANG + ": "),
+                              F.col(lang_col).cast("string"), F.lit("\r\n")))
+    parts.append(F.concat(F.lit(H_LEN + ": "),
+                          F.octet_length(F.col(text_col)).cast("string"),
+                          F.lit("\r\n")))
+    parts.append(F.lit("\r\n"))
+    parts.append(F.col(text_col))
+    return docs.select(F.concat(*parts).alias("record"))
+
+
+def write_wet(
+    docs: DataFrame,
+    path: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str | None = None,
+    lang_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a WET-lite archive: one text file per partition, records
+    separated by the blank-line terminator (the writer's ``lineSep``), so
+    the archive byte stream is ``rec \\r\\n\\r\\n rec \\r\\n\\r\\n ...`` —
+    exactly what :func:`read_wet` splits.  Partitioning is preserved:
+    a 10^9-record corpus writes as that many-way parallel files."""
+    recs = wet_records(docs, url_col=url_col, text_col=text_col,
+                       id_col=id_col, lang_col=lang_col)
+    recs.write.mode(mode).option("lineSep", _SEP).text(path)
+
+
+def _parse_fragment(frag: str) -> dict:
+    """One lineSep-split fragment -> parsed record dict (see _PARSED)."""
+    out = {"record_id": None, "url": None, "language": None,
+           "content_length": None, "text": None, "corrupt": None}
+    head, sep, rest = frag.partition(_SEP)
+    if not sep:
+        out["corrupt"] = "no header/payload separator"
+        return out
+    headers: dict[str, str] = {}
+    for line in head.split("\r\n"):
+        if not line or line == MARKER:
+            # the file-head fragment keeps its leading version line (only
+            # INTERIOR record boundaries are consumed by the lineSep);
+            # real WET version lines are skipped the same way
+            continue
+        k, colon, v = line.partition(":")
+        if not colon:
+            out["corrupt"] = f"malformed header line: {line[:40]!r}"
+            return out
+        headers[k.strip()] = v.strip()
+    out["record_id"] = headers.get(H_ID)
+    out["url"] = headers.get(H_URI)
+    out["language"] = headers.get(H_LANG)
+    clen_s = headers.get(H_LEN)
+    if clen_s is None or not clen_s.isdigit():
+        out["corrupt"] = "missing/invalid Content-Length"
+        return out
+    clen = int(clen_s)
+    out["content_length"] = clen
+    raw = rest.encode("utf-8")
+    if len(raw) < clen:
+        # the payload embedded the record separator+marker and the reader
+        # split mid-record — quarantine, never silently truncate
+        out["corrupt"] = f"payload short: {len(raw)} of {clen} octets"
+        return out
+    tail = raw[clen:]
+    if tail not in (b"", _SEP.encode()):
+        out["corrupt"] = f"unexpected {len(tail)} trailing octets"
+        return out
+    try:
+        out["text"] = raw[:clen].decode("utf-8")
+    except UnicodeDecodeError:
+        # Content-Length landed inside a multi-byte sequence: the header
+        # lies about the payload it frames
+        out["corrupt"] = "Content-Length splits a UTF-8 sequence"
+    return out
+
+
+@F.pandas_udf(_PARSED)
+def _parse_wet_udf(frags: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for batch in frags:
+        yield pd.DataFrame([_parse_fragment(f) for f in batch],
+                           columns=_PARSED.fieldNames())
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET-archive scan -> one typed row per record:
+    ``(record_id, url, language, content_length, text, corrupt)``.
+
+    ``corrupt IS NULL`` rows are clean; non-null rows carry the reason and
+    whatever headers did parse (quarantine table semantics).  The
+    ``lineSep`` is the full record boundary — blank line THEN marker — so
+    a payload only mis-splits if it embeds that exact four-line shape
+    (quarantined when it does); each file's first fragment keeps its
+    leading version line, which the header parser skips."""
+    frags = spark.read.option("lineSep", _SEP + MARKER + "\r\n").text(path)
+    return (
+        frags.filter(F.length(F.rtrim(F.col("value"))) > 0)
+        .select(_parse_wet_udf(F.col("value")).alias("r"))
+        .select("r.*")
+    )

@@ -1,0 +1,141 @@
+"""WET-lite archive source (sources/archive.py): write → splittable read
+round trip, octet-exact Content-Length semantics, and quarantine behavior
+for records the splittable fast path cannot frame."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.sources import archive
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, lang string, text string")
+
+
+ROWS = [
+    (1, "https://a.example.com/x", "en", "plain single line"),
+    (2, "https://a.example.com/y", "de",
+     "multi\nline\npayload with\ttabs and  double spaces"),
+    (3, "https://b.example.com/", "fr", ""),                  # empty payload
+    (4, "https://b.example.com/u", "en", "unicode: héllo wörld — 你好 ✓"),
+    (5, "https://b.example.com/crlf", "en",
+     "payload with\r\nCRLF line breaks\r\nbut no record boundary"),
+]
+
+
+def _roundtrip(spark, tmp_path, rows, partitions=None):
+    df = _docs(spark, rows)
+    if partitions:
+        df = df.repartition(partitions)
+    path = os.path.join(str(tmp_path), "wet")
+    archive.write_wet(df, path, id_col="doc_id", lang_col="lang")
+    return archive.read_wet(spark, path)
+
+
+class TestRoundTrip:
+    def test_all_fields_and_payloads(self, spark, tmp_path):
+        got = {int(r["record_id"]): r
+               for r in _roundtrip(spark, tmp_path, ROWS).collect()}
+        assert len(got) == len(ROWS)
+        for doc_id, url, lang, text in ROWS:
+            r = got[doc_id]
+            assert r["corrupt"] is None
+            assert r["url"] == url
+            assert r["language"] == lang
+            assert r["text"] == text
+            assert r["content_length"] == len(text.encode("utf-8"))
+
+    def test_unicode_content_length_is_octets(self, spark, tmp_path):
+        [r] = _roundtrip(spark, tmp_path, [ROWS[3]]).collect()
+        assert r["content_length"] > len(ROWS[3][3])  # octets > chars
+        assert r["text"] == ROWS[3][3]
+
+    def test_multiple_partitions_multiple_files(self, spark, tmp_path):
+        rows = [(i, f"https://h{i % 3}.example.com/{i}", "en",
+                 f"payload number {i} " * (i % 5 + 1)) for i in range(40)]
+        out = _roundtrip(spark, tmp_path, rows, partitions=7)
+        got = out.filter("corrupt IS NULL").count()
+        assert got == 40
+        # every file head keeps a version line the parser must skip
+        path = os.path.join(str(tmp_path), "wet")
+        files = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert len(files) > 1
+
+    def test_read_is_distributed_not_single_task(self, spark, tmp_path):
+        out = _roundtrip(spark, tmp_path,
+                         [(i, f"https://x/{i}", "en", "t " * 10)
+                          for i in range(20)], partitions=5)
+        # scan parallelism follows the file layout, not a driver loop
+        assert out.rdd.getNumPartitions() >= 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan or "Python" in plan  # vectorized UDF
+        assert "Exchange" not in plan  # pure scan+project: no shuffle
+
+
+class TestQuarantine:
+    def test_payload_embedding_record_boundary_is_quarantined(
+            self, spark, tmp_path):
+        evil = "before\r\n\r\nWARC/1.0\r\nafter pretending to be a record"
+        rows = [ROWS[0], (9, "https://evil/", "en", evil), ROWS[1]]
+        out = _roundtrip(spark, tmp_path, rows, partitions=1).collect()
+        clean = [r for r in out if r["corrupt"] is None]
+        bad = [r for r in out if r["corrupt"] is not None]
+        # the two framing halves of the evil record are quarantined;
+        # every other record still parses clean
+        assert {int(r["record_id"]) for r in clean} == {1, 2}
+        assert len(bad) == 2
+        assert any("short" in r["corrupt"] for r in bad)
+
+    def test_hand_built_corruption_reasons(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "wet")
+        os.makedirs(path)
+        recs = [
+            "WARC/1.0\r\nWARC-Target-URI: u1\r\nContent-Length: 2\r\n\r\nok",
+            "WARC/1.0\r\nWARC-Target-URI: u2\r\n\r\nno content length",
+            "WARC/1.0\r\nWARC-Target-URI: u3\r\nContent-Length: 1\r\n\r\nzz",
+            "WARC/1.0\r\nbroken header line no colon\r\n"
+            "Content-Length: 1\r\n\r\nx",
+        ]
+        with open(os.path.join(path, "part-00000.txt"), "w", newline="") as f:
+            f.write("\r\n\r\n".join(recs) + "\r\n\r\n")
+        out = {r["url"]: r for r in archive.read_wet(spark, path).collect()}
+        assert out["u1"]["corrupt"] is None and out["u1"]["text"] == "ok"
+        assert "Content-Length" in out["u2"]["corrupt"]
+        assert "trailing" in out["u3"]["corrupt"]
+        bad_header = [r for u, r in out.items() if u is None]
+        assert len(bad_header) == 1
+        assert "header" in bad_header[0]["corrupt"]
+
+    def test_content_length_splitting_utf8_sequence(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "wet")
+        os.makedirs(path)
+        payload = "é"  # 2 octets
+        rec = (f"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 1\r\n"
+               f"\r\n{payload}")
+        # 1 octet of a 2-octet sequence + 1 trailing octet: the trailing
+        # check fires first (tail is neither empty nor the terminator)
+        with open(os.path.join(path, "part-00000.txt"), "w", newline="",
+                  encoding="utf-8") as f:
+            f.write(rec + "\r\n\r\n")
+        [r] = archive.read_wet(spark, path).collect()
+        assert r["corrupt"] is not None
+
+
+class TestWriterShape:
+    def test_records_are_pure_projection(self, spark):
+        df = _docs(spark, ROWS)
+        recs = archive.wet_records(df, id_col="doc_id", lang_col="lang")
+        plan = recs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # native string build, no UDF
+
+    def test_octet_length_header(self, spark):
+        df = _docs(spark, [ROWS[3]])
+        [rec] = archive.wet_records(df).collect()
+        text = ROWS[3][3]
+        assert f"Content-Length: {len(text.encode('utf-8'))}\r\n" in rec[0]
