@@ -145,11 +145,48 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decontaminate-k", type=int, default=13,
                    help="k-gram size for --decontaminate-bench "
                         "(default 13)")
+    p.add_argument("--wet-input", default=None,
+                   help="Skip crawling: ingest a WET-style text archive "
+                        "(sources/archive.py) as the document corpus and "
+                        "run the cleaning/packing path; requires "
+                        "--training-shards-dir. Corrupt (unframeable) "
+                        "records are dropped with a logged count")
+    p.add_argument("--export-wet-dir", default=None,
+                   help="Also export the crawled ok-pages (markdown text) "
+                        "as a WET-style archive at this directory — the "
+                        "bulk handoff format for downstream pipelines")
     p.add_argument("--small-export", action="store_true", default=False,
                    help="Assemble compiled exports on the driver (collect) "
                         "instead of the default executor-written sharded "
                         "path; only for corpora that fit in driver memory")
     return p
+
+
+def _clean_docs(spark, args, ok_docs):
+    """``--clean`` stage shared by the crawl and ``--wet-input`` paths:
+    the LSH-form cleaning pipeline over ``(url, text)`` rows."""
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.operators.dedup import clean_pipeline
+
+    bench = (
+        spark.read.parquet(args.decontaminate_bench)
+        if args.decontaminate_bench else None
+    )
+    # numeric keeper id: xxhash64(url) is deterministic across runs and
+    # cluster sizes (the keeper is min id per cluster — arbitrary but
+    # stable); collision odds at 10^10 docs are ~1e-3 over the whole
+    # corpus, each costing one spurious merge
+    return clean_pipeline(
+        ok_docs.withColumn("__did", F.xxhash64("url")),
+        text_col="text", id_col="__did",
+        min_tokens=args.clean_min_tokens,
+        threshold=args.clean_threshold,
+        pairs="lsh",   # the probabilistic 10^10-doc scale path;
+                       # the exact form backs the oracle query
+        bench=bench, decontam_k=args.decontaminate_k,
+        max_dup_window=args.clean_dup_window,
+    ).drop("__did")
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
@@ -170,6 +207,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
     if spark is None:
         spark = get_spark(app_name="crawler-to-md-spark", master=args.master)
+
+    # ---- archive ingestion: WET -> clean -> shards, no crawl -------------
+    if args.wet_input:
+        if not args.training_shards_dir:
+            parser.error("--wet-input requires --training-shards-dir")
+        from crawler_to_md_spark.sources import archive
+
+        recs = archive.read_wet(spark, args.wet_input)
+        ok_docs = recs.filter("corrupt IS NULL").select("url", "text")
+        n_corrupt = recs.filter("corrupt IS NOT NULL").count()
+        if n_corrupt:
+            print(f"Dropped {n_corrupt} corrupt archive records")
+        if args.clean:
+            ok_docs = _clean_docs(spark, args, ok_docs)
+        exports.export_training_shards(
+            ok_docs, budget=args.token_budget,
+            out_dir=args.training_shards_dir, order_cols=["url"])
+        print("Training shards exported to:", args.training_shards_dir)
+        return 0
 
     # ---- seeds (cli.py:181-199): file/stdin beats --url ------------------
     seed_df = None
@@ -320,6 +376,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             docs, links, output_folder=output, base_url=args.base_url,
             minify=args.minify)
         print("Individual Markdown files exported to:", folder)
+    if args.export_wet_dir:
+        from crawler_to_md_spark.functions.markdown import (
+            spans_to_markdown_expr,
+        )
+        from crawler_to_md_spark.sources import archive
+
+        archive.write_wet(
+            docs.filter(F.col("status") == "ok").select(
+                "url", F.expr(spans_to_markdown_expr("spans")).alias("text")),
+            args.export_wet_dir)
+        print("WET archive exported to:", args.export_wet_dir)
     if args.training_shards_dir:
         from crawler_to_md_spark.functions.markdown import (
             spans_to_markdown_expr,
@@ -328,26 +395,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         ok_docs = docs.filter(F.col("status") == "ok").select(
             "url", F.expr(spans_to_markdown_expr("spans")).alias("text"))
         if args.clean:
-            from crawler_to_md_spark.operators.dedup import clean_pipeline
-
-            bench = (
-                spark.read.parquet(args.decontaminate_bench)
-                if args.decontaminate_bench else None
-            )
-            # numeric keeper id: xxhash64(url) is deterministic across
-            # runs and cluster sizes (the keeper is min id per cluster —
-            # arbitrary but stable); collision odds at 10^10 docs are
-            # ~1e-3 over the whole corpus, each costing one spurious merge
-            ok_docs = clean_pipeline(
-                ok_docs.withColumn("__did", F.xxhash64("url")),
-                text_col="text", id_col="__did",
-                min_tokens=args.clean_min_tokens,
-                threshold=args.clean_threshold,
-                pairs="lsh",   # the probabilistic 10^10-doc scale path;
-                               # the exact form backs the oracle query
-                bench=bench, decontam_k=args.decontaminate_k,
-                max_dup_window=args.clean_dup_window,
-            ).drop("__did")
+            ok_docs = _clean_docs(spark, args, ok_docs)
         exports.export_training_shards(
             ok_docs, budget=args.token_budget,
             out_dir=args.training_shards_dir, order_cols=["url"])

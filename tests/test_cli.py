@@ -350,3 +350,52 @@ def test_host_budgets_and_rank_hosts_flags(spark, tmp_path, corpus_path):
     sub = os.listdir(out)
     files = os.listdir(os.path.join(out, sub[0]))
     assert "Ranked.md" in files
+
+
+def test_export_wet_dir(spark, tmp_path, corpus_path):
+    """--export-wet-dir writes the ok pages as a WET archive whose records
+    round-trip (urls and markdown payloads) through the archive reader."""
+    from crawler_to_md_spark.sources import archive
+
+    wet = str(tmp_path / "wet_out")
+    rc, out, cache = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path,
+        "--export-wet-dir", wet, name="wet",
+    )
+    assert rc == 0
+    back = archive.read_wet(spark, wet)
+    assert back.filter("corrupt IS NOT NULL").count() == 0
+    rows = back.collect()
+    urls = {r["url"] for r in rows}
+    assert len(rows) == len(urls)                       # one record/page
+    assert all(r["text"] for r in rows)                 # markdown payloads
+    assert any("# Doc" in r["text"] for r in rows)
+
+
+def test_wet_input_training_shards(spark, tmp_path):
+    """--wet-input skips the crawl: archive records (minus corrupt ones)
+    flow straight into the packing path."""
+    from crawler_to_md_spark.sources import archive
+
+    docs = spark.createDataFrame(
+        [(f"https://a/{i}", f"tok{i} " * (i % 5 + 4)) for i in range(30)],
+        "url string, text string")
+    wet = str(tmp_path / "wet_in")
+    archive.write_wet(docs, wet)
+    # append one unframeable record: must be dropped, not crash the run
+    with open(os.path.join(wet, "part-zz.txt"), "w", newline="") as f:
+        f.write("WARC/1.0\r\nWARC-Target-URI: bad\r\n\r\nno length\r\n\r\n")
+    shards = str(tmp_path / "wet_shards")
+    rc = cli.main(["--wet-input", wet, "--training-shards-dir", shards,
+                   "--token-budget", "32"], spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(shards)
+    assert back.count() == 30
+    assert {r["url"] for r in back.collect()} == {r["url"] for r in docs.collect()}
+
+
+def test_wet_input_requires_shards_dir(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["--wet-input", str(tmp_path / "nope")], spark=spark)
