@@ -139,3 +139,29 @@ class TestWriterShape:
         [rec] = archive.wet_records(df).collect()
         text = ROWS[3][3]
         assert f"Content-Length: {len(text.encode('utf-8'))}\r\n" in rec[0]
+
+
+class TestGzippedArchive:
+    def test_gz_files_parse_transparently(self, spark, tmp_path):
+        """Real WET archives ship as .wet.gz: Spark's text source
+        decompresses them transparently (one whole file per task — gzip
+        is not splittable, which is why Common Crawl shards its corpus
+        into ~1 GB files; many files still fan out across executors)."""
+        import gzip
+
+        df = _docs(spark, ROWS)
+        plain = os.path.join(str(tmp_path), "plain")
+        archive.write_wet(df, plain, id_col="doc_id", lang_col="lang")
+        gzdir = os.path.join(str(tmp_path), "gz")
+        os.makedirs(gzdir)
+        for i, f in enumerate(sorted(os.listdir(plain))):
+            if not f.startswith("part-"):
+                continue
+            with open(os.path.join(plain, f), "rb") as src, \
+                    gzip.open(os.path.join(gzdir, f"part-{i}.txt.gz"),
+                              "wb") as dst:
+                dst.write(src.read())
+        out = archive.read_wet(spark, gzdir)
+        got = {int(r["record_id"]): r["text"]
+               for r in out.filter("corrupt IS NULL").collect()}
+        assert got == {doc_id: text for doc_id, _, _, text in ROWS}
