@@ -165,3 +165,49 @@ class TestGzippedArchive:
         got = {int(r["record_id"]): r["text"]
                for r in out.filter("corrupt IS NULL").collect()}
         assert got == {doc_id: text for doc_id, _, _, text in ROWS}
+
+
+class TestFramingProperty:
+    def test_arbitrary_payloads_roundtrip_or_quarantine(self):
+        """Property: for ANY payload set, simulating the full write →
+        lineSep-split → parse pipeline yields, per record, either the
+        exact original payload or a corrupt flag — never silently wrong
+        text.  Pure-Python twin of the Spark path: the writer emits the
+        same record strings (wet_records' concat formula) and the reader
+        splits on the same lineSep."""
+        from hypothesis import given, settings, strategies as st
+
+        payload = st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   exclude_characters=["\x00"]),
+            max_size=200)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(payload, min_size=1, max_size=6))
+        def run(texts):
+            recs = []
+            for i, t in enumerate(texts):
+                recs.append(
+                    f"WARC/1.0\r\n{archive.H_ID}: {i}\r\n"
+                    f"{archive.H_URI}: u{i}\r\n"
+                    f"{archive.H_LEN}: {len(t.encode('utf-8'))}\r\n\r\n{t}")
+            stream = archive._SEP.join(recs) + archive._SEP
+            frags = [f for f in
+                     stream.split(archive._SEP + archive.MARKER + "\r\n")
+                     if f.strip()]
+            parsed = [archive._parse_fragment(f) for f in frags]
+            by_id = {p["record_id"]: p for p in parsed
+                     if p["record_id"] is not None and p["corrupt"] is None}
+            for i, t in enumerate(texts):
+                p = by_id.get(str(i))
+                if p is not None:            # parsed clean -> must be exact
+                    assert p["text"] == t
+            # a payload with no embedded record boundary MUST parse clean
+            for i, t in enumerate(texts):
+                if archive._SEP + archive.MARKER + "\r\n" not in t \
+                        and not t.endswith("\r\n\r\nWARC/1.0") \
+                        and str(i) not in by_id:
+                    raise AssertionError(
+                        f"clean payload {t!r} failed to parse")
+
+        run()
