@@ -283,8 +283,10 @@ def stage_dedup(spark, sf_dir) -> dict:
     # repartition: the sf corpus is ONE parquet file (and the planted-dup
     # union three map partitions), so without this the scan-side shingle
     # work runs ~3-wide regardless of cores — a real 100 TB corpus arrives
-    # in thousands of files, which this models
-    corpus_df = dedup.dup_corpus(docs).repartition(64).persist()
+    # in thousands of files, which this models.  16 not 64: this stage is
+    # shuffle-dominated at the bench's 6k docs and 64 map tasks measurably
+    # pay more in task overhead than the wider scan earns (9.5s vs 6.9s)
+    corpus_df = dedup.dup_corpus(docs).repartition(16).persist()
     n = corpus_df.count()
     for _ in range(2):   # warm JIT + python workers; report second pass
         t0 = time.time()
@@ -370,11 +372,61 @@ def stage_quality(spark, sf_dir) -> dict:
             "docs_per_sec": n / elapsed}
 
 
+def stage_ingest(spark, sf_dir) -> dict:
+    """Bulk-archive ingestion throughput (sources/archive.py): a 500k-record
+    WET archive (written once, untimed, 32 files) scanned through the
+    splittable lineSep read + Arrow header/payload parse.  The digest
+    hash-sum forces every payload to be decoded and framed — a bare count
+    would let the parse column drop out of the plan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.sources import archive
+
+    reps = int(os.environ.get("CMS_CURATION_REPLICAS", "100"))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "text")
+    docs = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).select(
+        (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
+        F.concat(F.lit("https://archive.example.org/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        "lang", "text",
+    ).repartition(32)   # one-file corpus: see stage_curation
+    work = tempfile.mkdtemp(prefix="bench_wet_")
+    try:
+        path = os.path.join(work, "wet")
+        archive.write_wet(docs, path, id_col="doc_id", lang_col="lang")
+        mb = sum(os.path.getsize(os.path.join(path, f))
+                 for f in os.listdir(path) if f.startswith("part-")) / 1e6
+        for _ in range(2):   # warm python workers; report second pass
+            t0 = time.time()
+            parsed = archive.read_wet(spark, path)
+            row = parsed.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("corrupt").isNotNull().cast("long")).alias("bad"),
+                F.sum(F.hash("record_id", "url", "language",
+                             "content_length", F.md5("text"))).alias("h"),
+            ).first()
+            elapsed = time.time() - t0
+        n = int(row["n"])
+        return {"sec": elapsed, "records": n, "corrupt": int(row["bad"]),
+                "archive_mb": round(mb, 1), "parse_hash": int(row["h"]),
+                "records_per_sec": n / elapsed,
+                "mb_per_sec": mb / elapsed}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STAGES = {
     "crawl": stage_crawl,
     "schedule": stage_schedule,
     "extract": stage_extract,
     "export": stage_export,
+    "ingest": stage_ingest,
     "dedup": stage_dedup,
     "curation": stage_curation,
     "quality": stage_quality,
@@ -604,6 +656,7 @@ def main() -> None:
             "schedule_urls_per_sec": detail["q_schedule"]["urls_per_sec"],
             "crawl_urls_per_sec": detail["q_crawl"]["urls_per_sec"],
             "extract_pages_per_sec": detail["q_extract"]["pages_per_sec"],
+            "ingest_mb_per_sec": detail["q_ingest"]["mb_per_sec"],
             "dedup_docs_per_sec": detail["q_dedup"]["docs_per_sec"],
             "curation_docs_per_sec": detail["q_curation"]["docs_per_sec"],
             "quality_docs_per_sec": detail["q_quality"]["docs_per_sec"],
