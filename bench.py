@@ -18,6 +18,15 @@ local[$SPARK_GRAFT_CPUS]):
   q_extract   fused HTML->spans extraction UDF over HTML rendered natively
               from corpus spans (pages/sec through the Arrow boundary)
   q_export    span->markdown serialization + minify UDF over all pages
+  q_ingest    bulk WET-archive scan: splittable lineSep read + Arrow
+              header/payload parse over a 500k-record archive (MB/sec)
+  q_dedup     cleaning pipeline over the planted-duplicate corpus:
+              quality gate -> exact dedup, then MinHash-LSH -> connected
+              components -> near-dup removal (docs/sec)
+  q_curation  benchmark decontamination + within-row repetition signals
+              over a 500k-doc replicated corpus (docs/sec)
+  q_quality   PII redaction + unigram-LM scoring + stratified mixture
+              sampling over the same replicated corpus (docs/sec)
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors;
 sandbox has one machine, so N and 4N cores): `--scaling` re-runs q_schedule
