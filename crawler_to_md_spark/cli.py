@@ -145,6 +145,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decontaminate-k", type=int, default=13,
                    help="k-gram size for --decontaminate-bench "
                         "(default 13)")
+    p.add_argument("--sitemap-discover", action="store_true", default=False,
+                   help="Seed from the --url host's robots.txt Sitemap: "
+                        "directives (distributed fetch + index expansion) "
+                        "instead of crawling out from --url; static "
+                        "frontier like --urls-file")
     p.add_argument("--wet-input", default=None,
                    help="Skip crawling: ingest a WET-style text archive "
                         "(sources/archive.py) as the document corpus and "
@@ -252,6 +257,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if first is None or not first["raw"]:
             parser.error("sitemap has no <loc> entries")
         first_url = first["raw"]
+    elif args.url and args.sitemap_discover:
+        from pyspark.sql import functions as F
+
+        from crawler_to_md_spark.functions import urlkit as _uk
+        from crawler_to_md_spark.sources import sitemap as sitemap_src
+        from crawler_to_md_spark.sources.robots import requests_text_transport
+
+        host = (
+            spark.createDataFrame([(args.url,)], "u string")
+            .select(_uk.url_host(F.col("u")).alias("host")).first()["host"]
+        )
+        seed_df = sitemap_src.seeds_from_robots(
+            spark.createDataFrame([(host,)], "host string"),
+            requests_text_transport)
+        urls_list_mode = True                    # discovered = static frontier
+        first = seed_df.orderBy("seed_seq").select("raw").first()
+        if first is None or not first["raw"]:
+            parser.error("no sitemap seeds discovered from robots.txt")
+        first_url = args.url
     elif args.url:
         seed_df = seed_src.single_seed_frame(spark, args.url)
         first_url = args.url

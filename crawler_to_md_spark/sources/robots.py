@@ -116,6 +116,25 @@ def parse_robots(text: str, agent: str = "*") -> list[str]:
     return merged
 
 
+def parse_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directive URLs from a robots.txt body, in document
+    order, first-occurrence deduped.  Per the sitemaps.org protocol the
+    directive is GLOBAL (independent of any user-agent group), so this
+    reads every line rather than the selected group — reference-free
+    engine addition feeding sitemap.seeds_from_robots."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw_line in (text or "").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        field, colon, value = line.partition(":")
+        if colon and field.strip().lower() == "sitemap":
+            v = value.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
 def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
     """``Crawl-delay`` seconds applying to ``agent``, or None when the
     matching group(s) declare none.  Same group selection as
@@ -167,6 +186,7 @@ def fetch_robots(
     scheme: str = "https",
     host_col: str = "host",
     emit_all: bool = False,
+    with_sitemaps: bool = False,
 ) -> DataFrame:
     """Fetch + parse ``robots.txt`` for every distinct host in ``hosts``.
 
@@ -180,7 +200,9 @@ def fetch_robots(
     as a COVERAGE table: one row per attempted host, the shape the crawl
     engine's anti-join coverage tracking needs (store/schemas.py
     ROBOTS_SCHEMA).  The result feeds ``politeness.robots_filter`` /
-    ``CrawlEngine(robots=...)`` directly.
+    ``CrawlEngine(robots=...)`` directly.  ``with_sitemaps=True`` adds a
+    ``sitemaps array<string>`` column (the body's global ``Sitemap:``
+    directives) parsed from the SAME fetch — no second request per host.
     """
     pol = policy or FetchPolicy()
 
@@ -189,9 +211,11 @@ def fetch_robots(
         for pdf in batches:
             out_host: list[str] = []
             out_rules: list[list[str] | None] = []
+            out_maps: list[list[str] | None] = []
             for host in pdf[host_col]:
                 url = f"{scheme}://{host}/robots.txt"
                 rules: list[str] | None = None
+                maps: list[str] | None = None
                 try:
                     status, _ct, body, err = transport(
                         url, pol.timeout, pol.proxy, True)
@@ -201,19 +225,25 @@ def fetch_robots(
                     text = body.decode("utf-8", errors="replace") if isinstance(
                         body, (bytes, bytearray)) else str(body)
                     rules = parse_robots(text, agent)
+                    maps = parse_sitemaps(text)
                 if rules is None and not emit_all:
                     continue
                 out_host.append(str(host))
                 out_rules.append(rules)
+                out_maps.append(maps)
             # explicit object dtype: an all-miss batch would otherwise
             # produce empty float64 columns Arrow cannot cast to
             # list<string>
-            yield pd.DataFrame(
-                {"host": pd.Series(out_host, dtype="object"),
-                 "disallow": pd.Series(out_rules, dtype="object")})
+            cols = {"host": pd.Series(out_host, dtype="object"),
+                    "disallow": pd.Series(out_rules, dtype="object")}
+            if with_sitemaps:
+                cols["sitemaps"] = pd.Series(out_maps, dtype="object")
+            yield pd.DataFrame(cols)
 
+    ddl = ROBOTS_RESULT_DDL + (", sitemaps array<string>"
+                               if with_sitemaps else "")
     return (
         hosts.select(F.col(host_col).alias(host_col))
         .distinct()
-        .mapInPandas(run, schema=ROBOTS_RESULT_DDL)
+        .mapInPandas(run, schema=ddl)
     )

@@ -74,3 +74,130 @@ def sitemap_seed_frame(docs: DataFrame, xml_col: str = "xml",
 def expand_sitemap_index(xml: str) -> list[str]:
     """Child sitemap URLs of an index document (empty if not an index)."""
     return parse_sitemap_locs(xml) if is_sitemap_index(xml) else []
+
+
+def fetch_sitemap_frames(
+    urls: DataFrame,
+    transport_factory,
+    policy=None,
+    url_col: str = "url",
+    seq_col: str = "file_seq",
+    scheme_timeout: float | None = None,
+) -> DataFrame:
+    """Distributed sitemap-file fetch: ``(file_seq, url)`` ->
+    ``(file_seq, xml)``, one pooled transport session per task (the
+    robots/fetch transport contract).  Unreachable or non-200 files
+    produce no row — a missing sitemap is an empty seed contribution, not
+    an error.  One task fetches many files; a 10^5-file sitemap-index
+    expansion fans out across executors."""
+    from typing import Iterable, Iterator
+
+    import pandas as pd
+
+    from crawler_to_md_spark.sources.fetch import FetchPolicy
+
+    pol = policy or FetchPolicy()
+
+    def run(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        transport = transport_factory()
+        for pdf in batches:
+            seqs: list[int] = []
+            xmls: list[str] = []
+            for seq, url in zip(pdf[seq_col], pdf[url_col]):
+                try:
+                    status, _ct, body, err = transport(
+                        str(url), pol.timeout, pol.proxy, True)
+                except Exception:
+                    continue
+                if err is None and status == 200 and body is not None:
+                    text = (body.decode("utf-8", errors="replace")
+                            if isinstance(body, (bytes, bytearray))
+                            else str(body))
+                    seqs.append(int(seq))
+                    xmls.append(text)
+            yield pd.DataFrame({
+                "file_seq": pd.Series(seqs, dtype="int64"),
+                "xml": pd.Series(xmls, dtype="object"),
+            })
+
+    return urls.select(
+        F.col(seq_col).cast("long").alias(seq_col), F.col(url_col)
+    ).mapInPandas(run, schema="file_seq long, xml string")
+
+
+def seeds_from_robots(
+    hosts: DataFrame,
+    transport_factory,
+    policy=None,
+    agent: str = "*",
+    scheme: str = "https",
+    host_col: str = "host",
+) -> DataFrame:
+    """The full discovery loop as one distributed statement: hosts ->
+    robots.txt fetch (rules AND global ``Sitemap:`` directives, one
+    request per host) -> distributed sitemap-file fetch -> sitemap-INDEX
+    expansion (one nesting level, per the protocol) -> ordered
+    ``(seed_seq, raw)`` seed frame, ready for ``CrawlEngine.seed``.
+
+    Ordering is deterministic and document-order nested: directive files
+    rank globally by (host, directive position) via the two-phase
+    distributed rank (operators/seq.py — no single-task window at
+    10^7-host scale); an index's children slot under their parent's rank;
+    the final ``seed_seq`` is a second dense distributed rank over
+    (file rank, position in file) — exact at any scale, no bit-packing
+    overflow.  Callers wanting the rules table too should call
+    ``fetch_robots(with_sitemaps=True)`` once and pass the frame to
+    ``sitemap_frames_from_rules`` to avoid a second robots fetch.
+    """
+    from crawler_to_md_spark.sources.robots import fetch_robots
+
+    rb = fetch_robots(
+        hosts, policy=policy, transport_factory=transport_factory,
+        agent=agent, scheme=scheme, host_col=host_col, with_sitemaps=True)
+    return sitemap_frames_from_rules(
+        rb, transport_factory, policy=policy)
+
+
+def sitemap_frames_from_rules(
+    rules: DataFrame,
+    transport_factory,
+    policy=None,
+) -> DataFrame:
+    """``fetch_robots(with_sitemaps=True)`` output -> ordered seed frame
+    (see :func:`seeds_from_robots` for the ordering contract)."""
+    from crawler_to_md_spark.operators.seq import with_ordered_seq
+
+    directives = rules.select(
+        "host", F.posexplode("sitemaps").alias("pos", "url"))
+    ranked = with_ordered_seq(
+        directives, ["host", "pos"], seq_col="file_seq")
+    frames = fetch_sitemap_frames(ranked, transport_factory, policy=policy)
+
+    # one index-expansion level: index frames contribute their children as
+    # nested file ranks; plain frames pass through unchanged
+    expand = F.pandas_udf(
+        lambda s: s.map(expand_sitemap_index), "array<string>")
+    with_kids = frames.withColumn("kids", expand(F.col("xml")))
+    # a directive's rank spans [r*2^20, (r+1)*2^20): a plain file sits at
+    # the span start, an index's children at +kpos within it — ranks are
+    # disjoint across directives so the spans never collide
+    plain = with_kids.filter(F.size("kids") == 0).select(
+        (F.col("file_seq") * (1 << 20)).alias("file_seq"), "xml")
+    kid_urls = (
+        with_kids.filter(F.size("kids") > 0)
+        .select("file_seq", F.posexplode("kids").alias("kpos", "url"))
+        .select((F.col("file_seq") * (1 << 20) + F.col("kpos"))
+                .alias("file_seq"), "url")
+    )
+    kid_frames = fetch_sitemap_frames(
+        kid_urls, transport_factory, policy=policy)
+    parse = F.pandas_udf(
+        lambda s: s.map(parse_sitemap_locs), "array<string>")
+    locs = (
+        plain.unionByName(kid_frames)
+        .select("file_seq", F.posexplode(parse(F.col("xml")))
+                .alias("pos", "raw"))
+    )
+    return with_ordered_seq(
+        locs, ["file_seq", "pos"], seq_col="seed_seq"
+    ).select("seed_seq", "raw")

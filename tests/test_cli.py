@@ -399,3 +399,39 @@ def test_wet_input_training_shards(spark, tmp_path):
 def test_wet_input_requires_shards_dir(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--wet-input", str(tmp_path / "nope")], spark=spark)
+
+
+def test_sitemap_discover_seeds_from_robots(spark, tmp_path, corpus_path,
+                                            monkeypatch):
+    """--sitemap-discover: seeds come from the --url host's robots.txt
+    Sitemap: directives (static frontier), fetched via the (patched)
+    robots transport."""
+    from crawler_to_md_spark.sources import robots as robots_mod
+
+    site = corpus.seed_url()                       # https://h0.example.com/...
+    urlset = ("<urlset><url><loc>" + site + "</loc></url></urlset>")
+    bodies = {
+        "https://h0.example.com/robots.txt":
+            (200, b"User-agent: *\nSitemap: https://h0.example.com/sm.xml\n"),
+        "https://h0.example.com/sm.xml": (200, urlset.encode()),
+    }
+
+    def fake_factory():
+        def transport(url, timeout, proxy, want_body):
+            status, body = bodies.get(url, (0, None))
+            if status == 0:
+                raise ConnectionError("unreachable")
+            return status, "text/plain", body if want_body else None, None
+        return transport
+
+    monkeypatch.setattr(robots_mod, "requests_text_transport", fake_factory)
+    rc, out, cache = _run(
+        spark, tmp_path, "--url", site,
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path, "--sitemap-discover",
+        name="smdisc",
+    )
+    assert rc == 0
+    sub = os.listdir(out)
+    files = os.listdir(os.path.join(out, sub[0]))
+    assert any(f.endswith(".md") for f in files)

@@ -538,3 +538,87 @@ class TestRobotsWebScale:
         assert len(h1) > 0 and not any(r["visited"] for r in h1)
         assert eng.docs().filter(
             F.col("url").startswith("https://h2.")).count() > 0
+
+
+class TestSitemapDiscovery:
+    ROBOTS_A = (
+        "User-agent: *\nDisallow: /private/\n"
+        "Sitemap: https://a.example.com/maps/index.xml\n"
+        "Sitemap: https://a.example.com/plain.xml\n"
+        "Sitemap: https://a.example.com/maps/index.xml\n"   # dupe dropped
+    )
+    INDEX_A = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.example.com/m1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a.example.com/m2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+
+    def _bodies(self):
+        def urlset(*locs):
+            return ("<urlset>" + "".join(
+                f"<url><loc>{u}</loc></url>" for u in locs) + "</urlset>")
+        return {
+            "https://a.example.com/robots.txt": (200, self.ROBOTS_A.encode()),
+            "https://a.example.com/maps/index.xml": (200, self.INDEX_A.encode()),
+            "https://a.example.com/m1.xml":
+                (200, urlset("https://a.example.com/p1",
+                             "https://a.example.com/p2").encode()),
+            "https://a.example.com/m2.xml":
+                (200, urlset("https://a.example.com/p3").encode()),
+            "https://a.example.com/plain.xml":
+                (200, urlset("https://a.example.com/q1",
+                             "https://a.example.com/q2").encode()),
+            # host b: robots unreachable -> contributes nothing
+        }
+
+    def test_parse_sitemaps_global_ordered_deduped(self):
+        from crawler_to_md_spark.sources.robots import parse_sitemaps
+
+        got = parse_sitemaps(self.ROBOTS_A)
+        assert got == ["https://a.example.com/maps/index.xml",
+                       "https://a.example.com/plain.xml"]
+        assert parse_sitemaps("") == [] and parse_sitemaps(None) == []
+
+    def test_fetch_robots_with_sitemaps_column(self, spark):
+        hosts = spark.createDataFrame(
+            [("a.example.com",), ("b.example.com",)], "host string")
+        rb = fetch_robots(
+            hosts, transport_factory=_fake_transport_factory(self._bodies()),
+            with_sitemaps=True)
+        rows = {r["host"]: r for r in rb.collect()}
+        assert rows["a.example.com"]["disallow"] == ["/private/"]
+        assert rows["a.example.com"]["sitemaps"] == [
+            "https://a.example.com/maps/index.xml",
+            "https://a.example.com/plain.xml"]
+        assert "b.example.com" not in rows          # unreachable, emit_all off
+
+    def test_seeds_from_robots_end_to_end(self, spark):
+        from crawler_to_md_spark.sources.sitemap import seeds_from_robots
+
+        hosts = spark.createDataFrame(
+            [("a.example.com",), ("b.example.com",)], "host string")
+        seeds = seeds_from_robots(
+            hosts, _fake_transport_factory(self._bodies()))
+        ordered = [r["raw"] for r in seeds.orderBy("seed_seq").collect()]
+        # directive 0 is the index: its children's URLs nest under rank 0
+        # in child order; directive 1 (plain.xml) follows
+        assert ordered == [
+            "https://a.example.com/p1", "https://a.example.com/p2",
+            "https://a.example.com/p3",
+            "https://a.example.com/q1", "https://a.example.com/q2"]
+        seqs = [r["seed_seq"] for r in seeds.orderBy("seed_seq").collect()]
+        assert seqs == list(range(5))               # dense global rank
+
+    def test_missing_child_sitemap_is_skipped(self, spark):
+        from crawler_to_md_spark.sources.sitemap import seeds_from_robots
+
+        bodies = self._bodies()
+        del bodies["https://a.example.com/m1.xml"]  # child 404s away
+        hosts = spark.createDataFrame([("a.example.com",)], "host string")
+        seeds = seeds_from_robots(
+            hosts, _fake_transport_factory(bodies))
+        ordered = [r["raw"] for r in seeds.orderBy("seed_seq").collect()]
+        assert ordered == [
+            "https://a.example.com/p3",
+            "https://a.example.com/q1", "https://a.example.com/q2"]
