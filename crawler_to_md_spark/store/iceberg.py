@@ -196,6 +196,52 @@ class IcebergStore:
                 [int(b) for b in buckets])
         )
 
+    def snapshots(self) -> list[int]:
+        """Readable wave batch ids (oldest first) — the rows still present
+        in the lineage table after retention expiry; each maps to an
+        Iceberg snapshot per table via the wave's commit."""
+        q = self._qualified("lineage")
+        if not self.spark.catalog.tableExists(q):
+            return []
+        return [int(r["batch_id"]) for r in
+                self.spark.table(q).select("batch_id")
+                .orderBy("batch_id").collect()]
+
+    def read_at(self, table: str, batch_id: int) -> DataFrame:
+        """Time-travel read via Iceberg's native snapshot log: resolve the
+        wave's commit time from the lineage table, then
+        ``TIMESTAMP AS OF`` — the exact analog of the parquet store's
+        retained-history read."""
+        if batch_id not in self.snapshots():
+            raise ValueError(
+                f"snapshot {batch_id} not readable: retained ids are "
+                f"{self.snapshots()} (retain={self.retain} bounds time "
+                f"travel)")
+        if batch_id == self.batch_id:
+            return self.read(table)
+        q = self._qualified(table)
+        ts = self._committed_at(batch_id)
+        return self.spark.sql(
+            f"SELECT * FROM {q} TIMESTAMP AS OF '{ts}'")
+
+    def _committed_at(self, batch_id: int):
+        """Wave commit wall time from the lineage table (the `TIMESTAMP
+        AS OF` anchor)."""
+        return (
+            self.spark.table(self._qualified("lineage"))
+            .filter(F.col("batch_id") == int(batch_id))
+            .select("committed_at").first()["committed_at"]
+        )
+
+    def lineage_at(self, batch_id: int) -> dict[str, Any]:
+        row = (
+            self.spark.table(self._qualified("lineage"))
+            .filter(F.col("batch_id") == int(batch_id)).first()
+        )
+        if row is None:
+            raise ValueError(f"snapshot {batch_id} not retained")
+        return json.loads(row["lineage_json"])
+
     def bucket_entry(self, table: str) -> dict | None:
         return {"kind": "bucketed", "n_buckets": self.n_buckets,
                 "buckets": {}}
@@ -242,9 +288,14 @@ class IcebergStore:
                 upd.writeTo(q).overwritePartitions()
         if callable(lineage):
             lineage = lineage()
+        import datetime as _dt
+
+        # committed_at = wave commit wall time: the key read_at() resolves
+        # through Iceberg's native `TIMESTAMP AS OF` time travel
         lrow = self.spark.createDataFrame(
-            [(int(batch_id), json.dumps(lineage or {}))],
-            "batch_id long, lineage_json string")
+            [(int(batch_id), json.dumps(lineage or {}),
+              _dt.datetime.now(_dt.timezone.utc))],
+            "batch_id long, lineage_json string, committed_at timestamp")
         lq = self._qualified("lineage")
         if not self.spark.catalog.tableExists(lq):
             lrow.writeTo(lq).using("iceberg").create()

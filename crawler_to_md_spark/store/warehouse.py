@@ -196,6 +196,61 @@ class SnapshotStore:
             return self.spark.createDataFrame([], self.schemas[table])
         return self.spark.read.parquet(*paths)
 
+    def snapshots(self) -> list[int]:
+        """Batch ids readable right now: the retained history snapshots
+        (oldest first) plus the current one — the Iceberg snapshot-log
+        analog.  Retention (``retain``) bounds time travel exactly the
+        way Iceberg snapshot expiry does."""
+        m = self.manifest
+        ids = [h["batch_id"] for h in m.get("history", [])]
+        ids.append(m["batch_id"])
+        # lineage-only commits reuse their batch id (run() final commit
+        # with no table updates): keep one entry per id, the LATEST state
+        # (read_at/lineage_at resolve current-first the same way)
+        seen: set[int] = set()
+        out: list[int] = []
+        for i in reversed(ids):
+            if i not in seen:
+                seen.add(i)
+                out.append(i)
+        return list(reversed(out))
+
+    def read_at(self, table: str, batch_id: int) -> DataFrame:
+        """Time-travel read: ``table`` as of snapshot ``batch_id`` (the
+        current snapshot or any RETAINED history entry).  Snapshot files
+        are immutable once committed — clean buckets are carried forward
+        by reference and the GC deletes only rels unreachable from the
+        manifest+history — so the returned frame is exactly the table the
+        crawl saw at that wave."""
+        m = self.manifest
+        if batch_id == m["batch_id"]:
+            return self.read(table)
+        for h in m.get("history", []):
+            if h["batch_id"] == batch_id:
+                entry = h["tables"].get(table)
+                if entry is None:
+                    return self.spark.createDataFrame(
+                        [], self.schemas[table])
+                paths = self._entry_paths(entry)
+                if not paths:
+                    return self.spark.createDataFrame(
+                        [], self.schemas[table])
+                return self.spark.read.parquet(*paths)
+        raise ValueError(
+            f"snapshot {batch_id} not readable: retained ids are "
+            f"{self.snapshots()} (retain={self.retain} bounds time travel)")
+
+    def lineage_at(self, batch_id: int) -> dict[str, Any]:
+        """Per-partition lineage as of a retained snapshot (frontier
+        offset, bloom shard version, fetch counters)."""
+        m = self.manifest
+        if batch_id == m["batch_id"]:
+            return m.get("lineage", {})
+        for h in m.get("history", []):
+            if h["batch_id"] == batch_id:
+                return h.get("lineage", {})
+        raise ValueError(f"snapshot {batch_id} not retained")
+
     def read_buckets(self, table: str, buckets: list[int]) -> DataFrame:
         """Read only the given buckets of a bucketed table (the dirty
         subset a wave is about to replace)."""
@@ -315,7 +370,12 @@ class SnapshotStore:
             "lineage": lineage or {},
             "history": (
                 prev["history"]
-                + [{"batch_id": prev.get("batch_id"), "tables": prev["tables"]}]
+                + [{"batch_id": prev.get("batch_id"),
+                    "tables": prev["tables"],
+                    # historized per-partition lineage: read_at/lineage_at
+                    # can reconstruct the crawl state AS OF any retained
+                    # snapshot, not just its table contents
+                    "lineage": prev.get("lineage", {})}]
                 if prev["tables"]
                 else []
             )[-self.retain :],
@@ -395,7 +455,9 @@ class SnapshotStore:
         manifest = {
             "batch_id": prev["batch_id"],
             "tables": prev["tables"],
-            "lineage": m.get("lineage", {}),
+            # restore the snapshot's OWN lineage when historized (older
+            # manifests lack it; fall back to the undone snapshot's)
+            "lineage": prev.get("lineage", m.get("lineage", {})),
             "history": m["history"][:-1],
         }
         tmp = self._manifest_path + ".tmp"

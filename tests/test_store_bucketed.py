@@ -198,3 +198,52 @@ class TestAppendCompaction:
         rows = sorted((r["host"], r["w"])
                       for r in st.read("robots").collect())
         assert rows == [(f"h{w}.example.com", w) for w in range(1, n + 1)]
+
+
+class TestTimeTravel:
+    def test_read_at_retained_snapshots(self, spark, tmp_path):
+        st = SnapshotStore(spark, str(tmp_path / "tt"), retain=3,
+                           schemas={"links": LINKS_SCHEMA})
+        for wave in range(4):
+            df = _links_df(spark, [f"https://h/w{wave}p{i}"
+                                   for i in range((wave + 1) * 10)])
+            st.commit({"links": BucketedUpdate(df, list(range(B)), B)},
+                      batch_id=wave,
+                      lineage={"frontier_offset": wave,
+                               "counters": {"seeds": (wave + 1) * 10}})
+        assert st.snapshots() == [0, 1, 2, 3]
+        # every retained snapshot reads its own committed contents
+        for wave in range(4):
+            got = st.read_at("links", wave)
+            assert got.count() == (wave + 1) * 10
+            assert got.filter(
+                F.col("url").startswith(f"https://h/w{wave}")
+            ).count() == (wave + 1) * 10
+        # historized per-partition lineage travels with the snapshot
+        assert st.lineage_at(1)["frontier_offset"] == 1
+        assert st.lineage_at(3)["counters"]["seeds"] == 40
+
+    def test_expired_snapshot_errors_with_retention_hint(self, spark,
+                                                        tmp_path):
+        st = SnapshotStore(spark, str(tmp_path / "tt2"), retain=1,
+                           schemas={"links": LINKS_SCHEMA})
+        for wave in range(3):
+            df = _links_df(spark, [f"https://h/w{wave}"])
+            st.commit({"links": BucketedUpdate(df, list(range(B)), B)},
+                      batch_id=wave)
+        assert st.snapshots() == [1, 2]
+        with pytest.raises(ValueError, match="retain"):
+            st.read_at("links", 0)
+        with pytest.raises(ValueError, match="not retained"):
+            st.lineage_at(0)
+
+    def test_rollback_restores_historized_lineage(self, spark, tmp_path):
+        st = SnapshotStore(spark, str(tmp_path / "tt3"), retain=2,
+                           schemas={"links": LINKS_SCHEMA})
+        for wave in range(2):
+            df = _links_df(spark, [f"https://h/w{wave}"])
+            st.commit({"links": BucketedUpdate(df, list(range(B)), B)},
+                      batch_id=wave, lineage={"frontier_offset": wave})
+        st.rollback()
+        assert st.batch_id == 0
+        assert st.lineage["frontier_offset"] == 0   # not the undone wave's

@@ -284,3 +284,19 @@ def test_commit_runs_extra_tasks_before_table_writes():
     # the bloom-update analog runs before any table statement of this commit
     n_before = order[0]
     assert not any(s.startswith("MERGE") for s in fake.log[:n_before])
+
+
+def test_read_at_emits_native_time_travel(monkeypatch):
+    """Time travel goes through Iceberg's own snapshot log: read_at must
+    resolve the wave's commit time and emit `TIMESTAMP AS OF`."""
+    fake, store = _store(existing={"cat.crawl.links"})
+    monkeypatch.setattr(IcebergStore, "snapshots", lambda self: [3, 4])
+    monkeypatch.setattr(IcebergStore, "batch_id",
+                        property(lambda self: 4))
+    monkeypatch.setattr(IcebergStore, "_committed_at",
+                        lambda self, b: "2026-08-20 00:00:03")
+    store.read_at("links", 3)
+    assert fake.log[-1] == ("SELECT * FROM cat.crawl.links "
+                            "TIMESTAMP AS OF '2026-08-20 00:00:03'")
+    with pytest.raises(ValueError, match="retain"):
+        store.read_at("links", 1)
