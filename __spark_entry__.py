@@ -494,6 +494,16 @@ def _q_embedding_ivf_topk(spark, sf_dir):
 EMB_DIM = 64  # driver embeddings.parquet dim at every sf
 
 
+def _q_embedding_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN — the third top-k variant (brute force = exact
+    baseline, IVF = coarse quantizer, LSH = hamming-bucket candidates):
+    sign-projection sketch -> 8 contiguous bit bands -> candidates share
+    a band -> exact cosine re-rank of candidates only.  Deterministic
+    planes/layout, so the oracle reproduces the exact candidate sets."""
+    return similarity.lsh_topk(_emb(spark, sf_dir), EMB_DIM,
+                               n_queries=8, k=10, n_bands=8)
+
+
 def _q_simhash_near_pairs(spark, sf_dir):
     """Embedding near-dup via sign-projection sketches.  Banded pigeonhole
     LSH (9 bands for r=8 — bands >= r+1 guarantees candidate recall) +
@@ -1247,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_windows": _q_dup_windows,
         "crawl_report": _q_crawl_report,
         "wet_roundtrip": _q_wet_roundtrip,
+        "embedding_lsh_topk": _q_embedding_lsh_topk,
     }
 
 
@@ -1489,6 +1500,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.duck_exact_dups_sql(),
         "minhash_near_dups": dedup.duck_brute_force_near_dups_sql(threshold=0.5),
         "embedding_topk": similarity.duck_brute_force_topk_sql(n_queries=8, k=10),
+        "embedding_lsh_topk": similarity.duck_lsh_topk_sql(
+            EMB_DIM, n_queries=8, k=10, n_bands=8),
         "embedding_ivf_topk": similarity.duck_ivf_topk_sql(
             n_queries=8, k=10, n_centroids=16, n_probe=2),
         "simhash_near_pairs": similarity.duck_simhash_near_pairs_sql(

@@ -354,6 +354,133 @@ def simhash_near_pairs(
     )
 
 
+def lsh_topk(
+    embeddings: DataFrame,
+    dim: int,
+    n_queries: int = 8,
+    k: int = 10,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Approximate top-k by hyperplane-LSH bucketing — the third ANN
+    variant next to :func:`brute_force_topk` (exact baseline) and
+    :func:`ivf_topk` (coarse-quantizer path).
+
+    Shape: sign-projection sketch (``simhash_sketch``) → split into
+    ``n_bands`` contiguous bit bands → a corpus vector is a CANDIDATE for
+    a query iff they share at least one band exactly (same pigeonhole
+    layout as :func:`simhash_near_pairs`) → exact cosine re-rank of the
+    candidates only, top-k per query, ties broken by neighbor_id.
+
+    Scale shape: the band join is keyed by (band, key) — corpus vectors
+    hash into 2^width buckets per band, so candidate generation is a
+    bucket equi-join moving (band, key, id) triples, never a cross join;
+    the O(dim) cosine runs only on the surviving candidate set.  Recall
+    is the LSH trade: a neighbor differing in every band is missed —
+    raise ``n_bands`` (wider OR over narrower bands) for higher recall
+    on nearer neighbors.  Fully deterministic (fixed planes, fixed
+    layout), so the DuckDB twin (:func:`duck_lsh_topk_sql`) reproduces
+    the exact candidate sets and ranks."""
+    sk = simhash_sketch(embeddings, dim)
+    layout = _band_layout(SIMHASH_BITS, n_bands)
+    bands = sk.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("sketch"), off)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                )
+                for i, (off, width) in enumerate(layout)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.key")
+    qb = bands.filter(F.col("vec_id") < n_queries).select(
+        "band", "key", F.col("vec_id").alias("query_id"))
+    cands = (
+        bands.select("band", "key", F.col("vec_id").alias("neighbor_id"))
+        .join(qb, ["band", "key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        _vec("embedding").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        _vec("embedding").alias("qvec"),
+    ).withColumn("qnrm", _norm(F.col("qvec")))
+    scored = (
+        cands.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+def duck_lsh_topk_sql(
+    dim: int, emb_rel: str = "embeddings", n_queries: int = 8, k: int = 10,
+    n_bands: int = 8,
+) -> str:
+    """Twin of :func:`lsh_topk`: sketches from the same plane literals,
+    band keys from the same (offset, width) layout, candidates = share a
+    band, exact cosine re-rank."""
+    planes = _hyperplanes(dim)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(v) for v in plane)}]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, "
+        f"((sketch >> {off}) & {(1 << w) - 1}) AS key FROM sk"
+        for i, (off, w) in enumerate(_band_layout(SIMHASH_BITS, n_bands))
+    )
+    return f"""
+        WITH sk AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST({bit_terms} AS BIGINT) AS sketch
+            FROM {emb_rel}
+        ),
+        bands AS ({band_rows}),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bands q JOIN bands c USING (band, key)
+            WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cands.query_id, cands.neighbor_id,
+                   round(list_cosine_similarity(
+                       CAST(qe.embedding AS DOUBLE[]),
+                       CAST(ce.embedding AS DOUBLE[])), 6) AS cos
+            FROM cands
+            JOIN {emb_rel} qe ON qe.vec_id = cands.query_id
+            JOIN {emb_rel} ce ON ce.vec_id = cands.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS BIGINT) AS rank,
+               cos
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (LSH-prefiltered, exact-verified)
 # ---------------------------------------------------------------------------
