@@ -539,6 +539,16 @@ def _q_video_frame_sample(spark, sf_dir):
     return multimodal.sample_video_frames(m, every_n=3)
 
 
+def _q_audio_window_sample(spark, sf_dir):
+    """Audio sliding-window sampling through the variable-fan-out
+    mapInPandas plumbing (one audio row -> 0..k window rows; stub codec,
+    arithmetic rms — the third modality next to image resize and video
+    frame sampling).  Window count/start/rms are pure functions of
+    octet_length (multimodal.duck_audio_windows_sql)."""
+    m = multimodal.media_table(_docs(spark, sf_dir))
+    return multimodal.sample_audio_windows(m, window_s=4, hop_s=2)
+
+
 def _q_media_resize(spark, sf_dir):
     """Stub image resize through mapInPandas (1 row -> 1 row; target dims
     + area-scaled byte count, arithmetic over octet_length)."""
@@ -1258,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_report": _q_crawl_report,
         "wet_roundtrip": _q_wet_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
+        "audio_window_sample": _q_audio_window_sample,
     }
 
 
@@ -1509,6 +1520,8 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": multimodal.duck_media_stats_sql(),
         "media_features": multimodal.duck_media_features_sql(),
         "video_frame_sample": multimodal.duck_video_frames_sql(every_n=3),
+        "audio_window_sample": multimodal.duck_audio_windows_sql(
+            window_s=4, hop_s=2),
         "media_resize": multimodal.duck_resized_media_sql(224, 224),
         "ngram_jaccard_dups": dedup.duck_ngram_jaccard_sql(threshold=0.5),
         "embedding_near_dups": similarity.duck_embedding_near_dups_sql(

@@ -262,6 +262,100 @@ def sample_video_frames(media: DataFrame, every_n: int = 3) -> DataFrame:
         run, schema="doc_id long, frame_idx long, luma double")
 
 
+AUDIO_RATE = 100          # stub "sample rate": 1 second of audio per 100 bytes
+
+
+def sample_audio(payload: bytes, window_s: int, hop_s: int,
+                 real: bool = False) -> list[tuple[int, int, float]]:
+    """STUB audio windower: the real path raises (no audio codec in this
+    container); the fake treats every AUDIO_RATE bytes as one second and
+    emits sliding (window_idx, start_s, rms) rows — window_s-second
+    windows every hop_s seconds, the exact contract of a real
+    frame/spectrogram windower.  rms is an arithmetic stand-in so the
+    variable fan-out is oracle-checkable."""
+    if real:
+        raise NotImplementedError(
+            "audio decoding requires a codec library (e.g. soundfile/"
+            "torchaudio) not available in this environment; wire it in here"
+        )
+    if window_s <= 0 or hop_s <= 0:
+        raise ValueError("window_s and hop_s must be positive")
+    n = len(payload)
+    duration_s = n // AUDIO_RATE
+    out = []
+    i = 0
+    start = 0
+    while start + window_s <= duration_s:
+        out.append((i, start, ((n + start * AUDIO_RATE) % 256) / 255.0))
+        i += 1
+        start += hop_s
+    return out
+
+
+def sample_audio_windows(media: DataFrame, window_s: int = 4,
+                         hop_s: int = 2) -> DataFrame:
+    """mapInPandas sliding-window sampling over audio rows: VARIABLE
+    fan-out (one input row -> 0..k window rows), same Arrow batch shape
+    as :func:`sample_video_frames`; output dtypes pinned so all-miss
+    batches stay castable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            starts: list[int] = []
+            rmss: list[float] = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio":
+                    continue
+                for i, start, rms in sample_audio(
+                    b"" if payload is None else bytes(payload),
+                    window_s, hop_s,
+                ):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    starts.append(start)
+                    rmss.append(rms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int64"),
+                    "start_s": pd.Series(starts, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="doc_id long, window_idx long, start_s long, rms double")
+
+
+def duck_audio_windows_sql(window_s: int = 4, hop_s: int = 2,
+                           docs_rel: str = "documents") -> str:
+    """Oracle for the stub windower: window count, start times, and rms
+    are pure arithmetic over octet_length."""
+    n = "octet_length(encode(text))"
+    return f"""
+        WITH auds AS (
+            SELECT doc_id, {n} AS n, {n} // {AUDIO_RATE} AS dur
+            FROM {docs_rel} WHERE doc_id % 3 = 1
+        ),
+        wins AS (
+            SELECT doc_id, n,
+                   unnest(range(0, greatest(dur - {window_s} + 1, 0),
+                                {hop_s})) AS start_s
+            FROM auds
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(start_s // {hop_s} AS BIGINT) AS window_idx,
+               CAST(start_s AS BIGINT) AS start_s,
+               CAST((n + start_s * {AUDIO_RATE}) % 256 AS DOUBLE) / 255.0
+                   AS rms
+        FROM wins
+    """
+
+
 def duck_video_frames_sql(every_n: int = 3,
                           docs_rel: str = "documents") -> str:
     """Oracle for the stub sampler: frame count and luma are pure

@@ -542,3 +542,31 @@ def test_running_total_scale_path_is_shuffle_free(spark):
         acc += i % 7 + 1
         want[i] = acc
     assert got == want
+
+
+def test_audio_window_sampling_matches_brute_force(spark, docs):
+    """Variable-fan-out mapInPandas == driver-side per-payload windowing
+    (the audio leg of the multimodal stub family)."""
+    m = multimodal.media_table(docs)
+    got = sorted(
+        (r["doc_id"], r["window_idx"], r["start_s"], r["rms"])
+        for r in multimodal.sample_audio_windows(m, window_s=3,
+                                                 hop_s=2).collect()
+    )
+    expect = sorted(
+        (r["doc_id"], i, s, rms)
+        for r in m.filter("media_type = 'audio'").collect()
+        for i, s, rms in multimodal.sample_audio(bytes(r["payload"]), 3, 2)
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_audio_stub_contracts():
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        multimodal.sample_audio(b"x", 4, 2, real=True)
+    with _pt.raises(ValueError):
+        multimodal.sample_audio(b"x", 0, 2)
+    # too-short payload: zero windows, not an error
+    assert multimodal.sample_audio(b"x" * 100, 4, 2) == []
