@@ -886,28 +886,35 @@ def _q_robots_gate(spark, sf_dir):
     """Robots gating end-to-end minus HTTP: a robots.txt BODY is derived
     arithmetically per host (even host ids publish a '*' group disallowing
     /docs/p1,/docs/p3 plus a more specific 'mybot' group disallowing
-    /docs/p2; odd host ids publish an empty-Disallow allow-all), parsed by
-    the engine's RFC 9309-lite parser (sources/robots.py — group selection
-    must pick the 'mybot' group over '*'), and the corpus URL set is gated
-    through politeness.robots_filter.  DuckDB recomputes the allowed set
-    from the same host-id arithmetic: only even-host pages whose page id
-    starts with '2' are blocked."""
+    /docs/p2 while ALLOWING the deeper /docs/p21 subtree; odd host ids
+    publish an empty-Disallow allow-all), parsed by the engine's RFC
+    9309-lite parser (sources/robots.py — group selection must pick the
+    'mybot' group over '*'), and the corpus URL set is gated through
+    politeness.robots_filter with RFC 9309 longest-match precedence.
+    DuckDB recomputes the allowed set from the same host-id arithmetic:
+    even-host pages whose page id starts with '2' are blocked UNLESS the
+    id starts with '21' (the Allow override certifies precedence
+    end-to-end)."""
     from crawler_to_md_spark.operators.politeness import robots_filter
-    from crawler_to_md_spark.sources.robots import parse_robots
+    from crawler_to_md_spark.sources.robots import parse_allow, parse_robots
 
     pages = _corpus_df(spark, sf_dir).select("url", "host")
     host_id = F.expr("CAST(substr(split_part(host, '.', 1), 2) AS INT)")
     body = F.when(
         host_id % 2 == 0,
         F.lit("User-agent: *\nDisallow: /docs/p1\nDisallow: /docs/p3\n\n"
-              "User-agent: mybot\nDisallow: /docs/p2\n"),
+              "User-agent: mybot\nDisallow: /docs/p2\nAllow: /docs/p21\n"),
     ).otherwise(F.lit("User-agent: *\nDisallow:\n"))
-    parse = F.pandas_udf(
+    parse_d = F.pandas_udf(
         lambda t: t.map(lambda x: parse_robots(x, "mybot/1.0")),
+        "array<string>")
+    parse_a = F.pandas_udf(
+        lambda t: t.map(lambda x: parse_allow(x, "mybot/1.0")),
         "array<string>")
     rules = (
         pages.select("host").distinct()
-        .select("host", parse(body).alias("disallow"))
+        .select("host", parse_d(body).alias("disallow"),
+                parse_a(body).alias("allow"))
     )
     return robots_filter(pages, rules).select("url")
 
@@ -1543,7 +1550,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT url FROM corpus_meta
             WHERE cls <> 'missing'
               AND NOT (({corpus.HOST_ID_SQL.format(g='g')}) % 2 = 0
-                       AND CAST(g AS VARCHAR) LIKE '2%')
+                       AND CAST(g AS VARCHAR) LIKE '2%'
+                       AND CAST(g AS VARCHAR) NOT LIKE '21%')
         """,
         "quality_dedup_pipeline": dedup.duck_quality_dedup_sql(min_tokens=40),
         "near_dup_components": dedup.duck_near_dup_components_sql(threshold=0.5),

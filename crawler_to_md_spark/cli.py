@@ -86,7 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "sitemaps and pass those")
     p.add_argument("--robots-parquet",
                    help="Pre-built robots rules table "
-                        "(host string, disallow array<string>) to gate the "
+                        "(host, disallow array<string>[, allow array<string>]) to gate the "
                         "frontier on (politeness.robots_filter)")
     p.add_argument("--respect-robots", action="store_true", default=False,
                    help="Fetch robots.txt over HTTP for every crawled host "

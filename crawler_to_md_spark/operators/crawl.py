@@ -243,7 +243,11 @@ class CrawlEngine:
             schemas={"links": LINKS_SCHEMA, "docs": DOCS_SCHEMA,
                      "metrics": METRICS_SCHEMA, "robots": ROBOTS_SCHEMA},
         )
-        self.robots = robots
+        # normalize to (host, disallow, allow): manual tables may omit the
+        # round-4 allow column (sources/robots.ensure_rules_cols)
+        from crawler_to_md_spark.sources.robots import ensure_rules_cols
+
+        self.robots = ensure_rules_cols(robots) if robots is not None else None
         # optional host-authority queue discipline (linkgraph.pagerank →
         # rank_to_priority → set_host_priority); None = BFS depth order
         self.host_priority: DataFrame | None = None
@@ -741,7 +745,9 @@ class CrawlEngine:
         )
         if self._robots_pending is not None:
             self._robots_pending = None
-            self.robots = self.store.read("robots")
+            from crawler_to_md_spark.sources.robots import ensure_rules_cols
+
+            self.robots = ensure_rules_cols(self.store.read("robots"))
         # fetched/flagged are checkpointed, not cached: their blocks are
         # reclaimed by the ContextCleaner once these references drop at
         # wave end (unpersist() would be a no-op on them)
@@ -913,7 +919,9 @@ class CrawlEngine:
             lineage=lineage)
         if self._robots_pending is not None:
             self._robots_pending = None
-            self.robots = self.store.read("robots")
+            from crawler_to_md_spark.sources.robots import ensure_rules_cols
+
+            self.robots = ensure_rules_cols(self.store.read("robots"))
         self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return {"run_id": run_id, "waves": waves,
                 "dequeued": dequeued_total, "requeued": requeued}
@@ -949,16 +957,17 @@ class CrawlEngine:
         path: a resumed crawl never re-fetches a covered host).  Manually
         supplied rules win per host; manual rows for hosts the store has
         never seen are queued for commit so they persist too."""
+        from crawler_to_md_spark.sources.robots import ensure_rules_cols
+
         if not self.store.has_table("robots"):
             if self.robots is not None and self._robots_pending is None:
-                manual = self.robots.select("host", "disallow")
-                self._robots_pending = manual
+                self._robots_pending = self.robots
             return
-        stored = self.store.read("robots")
+        stored = ensure_rules_cols(self.store.read("robots"))
         if self.robots is None:
             self.robots = stored
         else:
-            manual = self.robots.select("host", "disallow")
+            manual = self.robots
             manual_new = manual.join(
                 stored.select("host"), "host", "left_anti")
             if not manual_new.isEmpty():
@@ -1015,7 +1024,7 @@ class CrawlEngine:
         )
         self.robots = (
             fetched if self.robots is None
-            else self.robots.select("host", "disallow").unionByName(fetched)
+            else self.robots.unionByName(fetched)
         )
         self._n_robots_hosts = base + n_new
         return n_new
@@ -1048,7 +1057,7 @@ class CrawlEngine:
         if self.robots is not None:
             keep_old = self.robots.join(fetched.select("host"),
                                         "host", "left_anti")
-            fetched = fetched.unionByName(keep_old.select("host", "disallow"))
+            fetched = fetched.unionByName(keep_old)
         old = self.robots
         self.robots = fetched.persist()
         n = self.robots.count()

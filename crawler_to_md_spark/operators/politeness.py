@@ -246,13 +246,33 @@ class Pacer:
         self._sleep(seconds)
 
 
-def robots_allowed(url: Column, disallow: Column) -> Column:
-    """True when no disallow prefix matches the URL path.  NULL disallow
-    (host absent from the rules table) = allowed, like a missing robots.txt."""
+def robots_allowed(url: Column, disallow: Column,
+                   allow: Column | None = None) -> Column:
+    """RFC 9309 rule precedence: the most specific (longest) matching
+    prefix wins; ``Allow`` wins octet-length ties.  NULL disallow (host
+    absent from the rules table) = allowed, like a missing robots.txt.
+    Without an ``allow`` column the gate degrades to the prefix-only
+    disallow check (pre-round-4 rules tables)."""
     path = urlkit.url_path(url)
-    return F.when(
-        disallow.isNull(), F.lit(True)
-    ).otherwise(~F.exists(disallow, lambda p: path.startswith(p)))
+
+    def longest_match(rules: Column) -> Column:
+        # max octet length of a matching prefix, -1 when none match
+        return F.aggregate(
+            rules,
+            F.lit(-1),
+            lambda acc, p: F.greatest(
+                acc,
+                F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1)),
+            ),
+        )
+
+    dmax = longest_match(disallow)
+    if allow is None:
+        return F.when(disallow.isNull(), F.lit(True)).otherwise(dmax < 0)
+    amax = F.when(allow.isNull(), F.lit(-1)).otherwise(longest_match(allow))
+    return F.when(disallow.isNull(), F.lit(True)).otherwise(
+        (dmax < 0) | (amax >= dmax)
+    )
 
 
 # Below this many covered hosts the rules table is broadcast (a domain- or
@@ -314,7 +334,8 @@ def robots_filter(
     n_hosts_hint: int | None = None,
 ) -> DataFrame:
     """Gate a frontier batch on a per-host rules table
-    ``(host string, disallow array<string>)``.
+    ``(host, disallow array<string>, allow array<string>)`` with RFC 9309
+    longest-match precedence (2-column legacy tables gate disallow-only).
 
     ``n_hosts_hint`` is a join-strategy hint (the crawl engine supplies its
     covered-host counter): at or below ``ROBOTS_BROADCAST_MAX`` the rules
@@ -326,7 +347,9 @@ def robots_filter(
     deployments."""
     if robots is None:
         return batch
-    rules = robots.select("host", "disallow")
+    from crawler_to_md_spark.sources.robots import ensure_rules_cols
+
+    rules = ensure_rules_cols(robots)
     if n_hosts_hint is None or n_hosts_hint <= ROBOTS_BROADCAST_MAX:
         rules = F.broadcast(rules)
     else:
@@ -337,4 +360,6 @@ def robots_filter(
         # tens-of-GB broadcast
         rules = rules.hint("shuffle_hash")
     joined = batch.join(rules, "host", "left")
-    return joined.filter(robots_allowed(F.col("url"), F.col("disallow"))).drop("disallow")
+    return joined.filter(
+        robots_allowed(F.col("url"), F.col("disallow"), F.col("allow"))
+    ).drop("disallow", "allow")

@@ -39,20 +39,25 @@ from pyspark.sql import functions as F
 
 from crawler_to_md_spark.sources.fetch import FetchPolicy, Transport
 
-ROBOTS_RESULT_DDL = "host string, disallow array<string>"
+ROBOTS_RESULT_DDL = ("host string, disallow array<string>, "
+                     "allow array<string>")
+
+#: the rules-frame contract every gate/union site normalizes to
+RULES_COLS = ["host", "disallow", "allow"]
 
 
 def _robots_groups(
     text: str,
-) -> list[tuple[list[str], list[str], float | None]]:
+) -> list[tuple[list[str], list[str], list[str], float | None]]:
     """Parse robots.txt into groups of (agent tokens, disallow prefixes,
-    crawl-delay seconds or None).  A line's trailing ``#`` comment is
-    stripped; blank lines only end a group's user-agent header run, per
-    RFC 9309 §2.2; ``Crawl-delay`` is the de-facto extension most large
-    crawlers honor."""
-    groups: list[tuple[list[str], list[str], float | None]] = []
+    allow prefixes, crawl-delay seconds or None).  A line's trailing ``#``
+    comment is stripped; blank lines only end a group's user-agent header
+    run, per RFC 9309 §2.2; ``Crawl-delay`` is the de-facto extension most
+    large crawlers honor."""
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
-    cur_rules: list[str] | None = None
+    cur_dis: list[str] | None = None
+    cur_allow: list[str] = []
     cur_delay: float | None = None
     for raw_line in (text or "").splitlines():
         line = raw_line.split("#", 1)[0].strip()
@@ -62,27 +67,29 @@ def _robots_groups(
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            if cur_rules is not None:
+            if cur_dis is not None:
                 # a rules run ended: close the group, start a new header run
-                groups.append((cur_agents, cur_rules, cur_delay))
-                cur_agents, cur_rules, cur_delay = [], None, None
+                groups.append((cur_agents, cur_dis, cur_allow, cur_delay))
+                cur_agents, cur_dis, cur_allow, cur_delay = [], None, [], None
             cur_agents.append(value.lower())
         elif field in ("disallow", "allow", "crawl-delay", "sitemap"):
             if field == "sitemap":
                 continue             # global directive, not part of a group
             if not cur_agents:
                 continue             # rules before any user-agent: ignored
-            if cur_rules is None:
-                cur_rules = []
+            if cur_dis is None:
+                cur_dis = []
             if field == "disallow" and value:
-                cur_rules.append(value)
+                cur_dis.append(value)
+            elif field == "allow" and value:
+                cur_allow.append(value)
             elif field == "crawl-delay":
                 try:
                     cur_delay = float(value)
                 except ValueError:
                     pass             # malformed delay: ignore the line
     if cur_agents:
-        groups.append((cur_agents, cur_rules or [], cur_delay))
+        groups.append((cur_agents, cur_dis or [], cur_allow, cur_delay))
     return groups
 
 
@@ -105,15 +112,42 @@ def parse_robots(text: str, agent: str = "*") -> list[str]:
     """
     agent_lc = (agent or "*").lower()
     groups = _robots_groups(text)
-    best_spec = max((_specificity(a, agent_lc) for a, _, _ in groups),
+    best_spec = max((_specificity(a, agent_lc) for a, _, _, _ in groups),
                     default=-1)
     if best_spec < 0:
         return []
     merged: list[str] = []
-    for tokens, rules, _ in groups:
+    for tokens, rules, _, _ in groups:
         if _specificity(tokens, agent_lc) == best_spec:
             merged.extend(p for p in rules if p not in merged)
     return merged
+
+
+def parse_allow(text: str, agent: str = "*") -> list[str]:
+    """``Allow`` path prefixes applying to ``agent`` — same group
+    selection as :func:`parse_robots`.  Fed to the gate's RFC 9309
+    longest-match precedence (politeness.robots_allowed): the most
+    specific matching rule wins, Allow winning octet-length ties."""
+    agent_lc = (agent or "*").lower()
+    groups = _robots_groups(text)
+    best_spec = max((_specificity(a, agent_lc) for a, _, _, _ in groups),
+                    default=-1)
+    if best_spec < 0:
+        return []
+    merged: list[str] = []
+    for tokens, _, allows, _ in groups:
+        if _specificity(tokens, agent_lc) == best_spec:
+            merged.extend(p for p in allows if p not in merged)
+    return merged
+
+
+def ensure_rules_cols(df: "DataFrame") -> "DataFrame":
+    """Normalize any rules frame to ``(host, disallow, allow)`` — manual
+    tables and pre-round-4 committed stores carry no ``allow`` column."""
+    out = df
+    if "allow" not in out.columns:
+        out = out.withColumn("allow", F.lit(None).cast("array<string>"))
+    return out.select(*RULES_COLS)
 
 
 def parse_sitemaps(text: str) -> list[str]:
@@ -143,12 +177,12 @@ def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
     ``politeness.crawl_delay_budgets`` → per-host wave budgets."""
     agent_lc = (agent or "*").lower()
     groups = _robots_groups(text)
-    best_spec = max((_specificity(a, agent_lc) for a, _, _ in groups),
+    best_spec = max((_specificity(a, agent_lc) for a, _, _, _ in groups),
                     default=-1)
     if best_spec < 0:
         return None
     delays = [
-        d for tokens, _, d in groups
+        d for tokens, _, _, d in groups
         if _specificity(tokens, agent_lc) == best_spec and d is not None
     ]
     return max(delays) if delays else None
@@ -211,10 +245,12 @@ def fetch_robots(
         for pdf in batches:
             out_host: list[str] = []
             out_rules: list[list[str] | None] = []
+            out_allow: list[list[str] | None] = []
             out_maps: list[list[str] | None] = []
             for host in pdf[host_col]:
                 url = f"{scheme}://{host}/robots.txt"
                 rules: list[str] | None = None
+                allows: list[str] | None = None
                 maps: list[str] | None = None
                 try:
                     status, _ct, body, err = transport(
@@ -225,17 +261,20 @@ def fetch_robots(
                     text = body.decode("utf-8", errors="replace") if isinstance(
                         body, (bytes, bytearray)) else str(body)
                     rules = parse_robots(text, agent)
+                    allows = parse_allow(text, agent)
                     maps = parse_sitemaps(text)
                 if rules is None and not emit_all:
                     continue
                 out_host.append(str(host))
                 out_rules.append(rules)
+                out_allow.append(allows)
                 out_maps.append(maps)
             # explicit object dtype: an all-miss batch would otherwise
             # produce empty float64 columns Arrow cannot cast to
             # list<string>
             cols = {"host": pd.Series(out_host, dtype="object"),
-                    "disallow": pd.Series(out_rules, dtype="object")}
+                    "disallow": pd.Series(out_rules, dtype="object"),
+                    "allow": pd.Series(out_allow, dtype="object")}
             if with_sitemaps:
                 cols["sitemaps"] = pd.Series(out_maps, dtype="object")
             yield pd.DataFrame(cols)

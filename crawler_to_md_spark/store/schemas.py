@@ -81,6 +81,9 @@ ROBOTS_SCHEMA = StructType(
     [
         StructField("host", StringType(), False),
         StructField("disallow", ArrayType(StringType())),
+        # RFC 9309 Allow prefixes; the gate applies longest-match
+        # precedence between the two lists (allow wins length ties)
+        StructField("allow", ArrayType(StringType())),
     ]
 )
 

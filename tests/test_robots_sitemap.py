@@ -622,3 +622,84 @@ class TestSitemapDiscovery:
         assert ordered == [
             "https://a.example.com/p3",
             "https://a.example.com/q1", "https://a.example.com/q2"]
+
+
+class TestAllowPrecedence:
+    BODY = """
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Disallow: /tmp
+Allow: /tmp
+"""
+
+    def test_parse_allow_group_selection(self):
+        from crawler_to_md_spark.sources.robots import parse_allow
+
+        assert parse_allow(self.BODY) == ["/private/public/", "/tmp"]
+        specific = ("User-agent: mybot\nAllow: /mine/\n\n"
+                    "User-agent: *\nAllow: /all/\n")
+        assert parse_allow(specific, "mybot/1.0") == ["/mine/"]
+        assert parse_allow(specific, "other") == ["/all/"]
+        assert parse_allow("", "*") == []
+
+    def test_longest_match_gate(self, spark):
+        from crawler_to_md_spark.sources.robots import parse_allow, parse_robots
+
+        rules = spark.createDataFrame(
+            [("h", parse_robots(self.BODY), parse_allow(self.BODY))],
+            "host string, disallow array<string>, allow array<string>")
+        batch = spark.createDataFrame(
+            [("h", "https://h/private/secret"),       # blocked
+             ("h", "https://h/private/public/x"),     # allow is longer: ok
+             ("h", "https://h/tmp"),                  # equal length: allow wins
+             ("h", "https://h/other")],               # no rule: ok
+            "host string, url string")
+        out = {r["url"] for r in robots_filter(batch, rules).collect()}
+        assert out == {"https://h/private/public/x", "https://h/tmp",
+                       "https://h/other"}
+
+    def test_legacy_two_column_rules_still_gate(self, spark):
+        rules = spark.createDataFrame(
+            [("h", ["/private/"])], "host string, disallow array<string>")
+        batch = spark.createDataFrame(
+            [("h", "https://h/private/x"), ("h", "https://h/ok")],
+            "host string, url string")
+        out = {r["url"] for r in robots_filter(batch, rules).collect()}
+        assert out == {"https://h/ok"}
+
+    def test_fetch_robots_emits_allow_column(self, spark):
+        bodies = {"https://a.example.com/robots.txt": (200, self.BODY.encode())}
+        hosts = spark.createDataFrame([("a.example.com",)], "host string")
+        [row] = fetch_robots(
+            hosts,
+            transport_factory=_fake_transport_factory(bodies)).collect()
+        assert row["disallow"] == ["/private/", "/tmp"]
+        assert row["allow"] == ["/private/public/", "/tmp"]
+
+    def test_engine_allows_overridden_subtree(self, spark, tmp_path):
+        """End-to-end: a page under a disallowed prefix but an allowed
+        deeper prefix IS fetched; its disallowed sibling is not."""
+        import tempfile
+
+        from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
+        from crawler_to_md_spark.sources import corpus
+
+        body = b"User-agent: *\nDisallow: /docs/\nAllow: /docs/p\n"
+        bodies = {f"https://h{i}.example.com/robots.txt": (200, body)
+                  for i in range(30)}
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=1),
+            robots_transport_factory=_fake_transport_factory(bodies),
+        )
+        eng.seed([corpus.seed_url()])
+        eng.run_to_completion()
+        fetched = {r["url"] for r in
+                   eng.docs().select("url").collect()}
+        # /docs/p* pages pass (Allow overrides), anything else under /docs/
+        # never fetches
+        assert any("/docs/p" in u for u in fetched)
+        assert not any("/docs/" in u and "/docs/p" not in u for u in fetched)
