@@ -180,8 +180,36 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     (quarantined when it does); each file's first fragment keeps its
     leading version line, which the header parser skips."""
     frags = spark.read.option("lineSep", _SEP + MARKER + "\r\n").text(path)
+    return _parse_fragments(frags)
+
+
+def _parse_fragments(frags: DataFrame) -> DataFrame:
     return (
         frags.filter(F.length(F.rtrim(F.col("value"))) > 0)
         .select(_parse_wet_udf(F.col("value")).alias("r"))
         .select("r.*")
+    )
+
+
+def read_wet_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WET source: archive files landing in ``path`` (a fetch
+    fleet dropping ``.wet``/``.wet.gz`` shards on object storage) stream
+    through the same record-boundary split + Arrow parse as
+    :func:`read_wet` — files are the replayable offsets, so epochs are
+    deterministic.  Emits clean ``(url, text)`` rows, the
+    ``StreamingCorpusIngest`` input contract (streaming/ingest.py);
+    corrupt records are dropped here — quarantine auditing belongs to a
+    batch :func:`read_wet` pass over the same immutable files."""
+    reader = spark.readStream.option("lineSep", _SEP + MARKER + "\r\n")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    return (
+        _parse_fragments(reader.text(path))
+        .filter(F.col("corrupt").isNull())
+        .select("url", "text")
     )

@@ -432,3 +432,55 @@ def test_stream_near_ingest_chain_keeps_local_minima(spark, tmp_path):
     q.awaitTermination()
     kept = sorted(r["url"] for r in store.read("corpus_docs").collect())
     assert kept == ["https://h/a", "https://h/c"]
+
+
+# ---------------------------------------------------------------------------
+# streaming WET-archive ingestion (sources/archive.read_wet_stream -> ingest)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_wet_archive_ingest(spark, tmp_path):
+    """Archive shards landing on storage stream straight into the corpus
+    ingest: record-boundary split + parse per epoch, corrupt records
+    dropped, cross-batch dedup unchanged."""
+    import os as _os
+
+    from crawler_to_md_spark.sources import archive
+    from crawler_to_md_spark.streaming import ingest
+
+    in_dir = str(tmp_path / "wet_in")
+    _os.makedirs(in_dir)
+    waves = [
+        [("https://h/a", "dup text body with six tokens"),
+         ("https://h/b", "unique zero body has five tokens")],
+        [("https://h/c", "dup text body with six tokens"),   # cross-batch dup
+         ("https://h/d", "unique one body alpha beta"),
+         ("https://h/e", "tiny doc")],                        # gated
+    ]
+    for i, rows in enumerate(waves):
+        df = spark.createDataFrame(rows, "url string, text string")
+        archive.write_wet(df.coalesce(1), str(tmp_path / f"stage{i}"))
+        part = [f for f in _os.listdir(str(tmp_path / f"stage{i}"))
+                if f.startswith("part-")][0]
+        dst = _os.path.join(in_dir, f"shard-{i}.wet")
+        _os.rename(str(tmp_path / f"stage{i}" / part), dst)
+        # distinct mtimes: the file source orders epochs by modification
+        # time, and both shards land within the same clock tick here
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    # one unframeable shard: must be dropped by the stream, not crash it
+    with open(_os.path.join(in_dir, "shard-bad.wet"), "w", newline="") as f:
+        f.write("WARC/1.0\r\nWARC-Target-URI: bad\r\n\r\nno length\r\n\r\n")
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "wet_corpus_wh"),
+        schemas={"corpus_docs": ingest.CORPUS_DOCS_SCHEMA})
+    ing = ingest.StreamingCorpusIngest(store, min_tokens=3, store_buckets=8)
+    q = ing.start(
+        archive.read_wet_stream(spark, in_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "wet_ckpt"))
+    q.awaitTermination()
+
+    got = {r["url"]: r["text"]
+           for r in store.read("corpus_docs").collect()}
+    assert set(got) == {"https://h/a", "https://h/b", "https://h/d"}
+    assert got["https://h/a"] == "dup text body with six tokens"
