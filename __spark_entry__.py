@@ -1131,6 +1131,21 @@ def _q_section_chunks(spark, sf_dir):
     return interleaved.section_chunks(planted, id_col="doc_id")
 
 
+def _q_exact_substr_cut(spark, sf_dir):
+    """The SURGICAL ExactSubstr form (operators/curation.exact_substr_cut,
+    Lee et al.): duplicated 10-token windows are CUT from documents,
+    first corpus-wide occurrence keeps its text.  Mirrored copies of
+    every 7th document are planted (doc_id + 10^7) so the mirrors must
+    come back fully emptied while their originals pass through
+    byte-identical; organically shared windows cut wherever they repeat.
+    Oracle = the ROW_NUMBER first-occurrence + covered-index-union
+    rebuild over the same planted union."""
+    docs = corpus.load_documents(spark, sf_dir).select("doc_id", "text")
+    mirrors = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return curation.exact_substr_cut(docs.union(mirrors), n=10)
+
+
 def _q_crawl_report(spark, sf_dir):
     """Per-host coverage/health rollup (CrawlEngine.crawl_report): the
     operational dashboard over the finished crawl.  Oracle recomputes
@@ -1272,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_schedule": _q_adaptive_schedule,
         "anchor_index": _q_anchor_index,
         "dup_windows": _q_dup_windows,
+        "exact_substr_cut": _q_exact_substr_cut,
         "crawl_report": _q_crawl_report,
         "wet_roundtrip": _q_wet_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
@@ -1623,6 +1639,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dup_windows": curation.duck_dup_window_sql(
+            docs_rel="train", n=10,
+            prelude_ctes="""train AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+            )"""),
+        "exact_substr_cut": curation.duck_exact_substr_sql(
             docs_rel="train", n=10,
             prelude_ctes="""train AS (
                 SELECT doc_id, text FROM documents

@@ -618,6 +618,126 @@ def drop_window_dups(
     return docs.join(kept, on=id_col, how="left_semi")
 
 
+def exact_substr_cut(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The SURGICAL form of exact-substring deduplication (Lee et al.):
+    every duplicated n-token window — same window at an earlier (id, pos)
+    anywhere in the corpus — has its tokens CUT from the document; the
+    first occurrence keeps its text.  Returns ``(id, text)`` where text
+    is rebuilt from the surviving tokens.
+
+    Output is in TOKEN space: documents that lose windows are re-joined
+    with single spaces (the token-stream grain real ExactSubstr pipelines
+    operate on); untouched documents pass through byte-identical.
+    Overlapping dup windows merge naturally — the covered set is the
+    union of their [pos, pos+n) index ranges, computed in-row from the
+    per-document sorted dup-start list.
+
+    Scale shape = :func:`dup_window_fraction` plus one aggregate: keeper
+    per window key is the combine-safe ``min(struct(id, pos))``, the dup
+    test a many-to-one join against the one-row-per-key keeper table, the
+    per-document dup-start list a second partial aggregate (bounded by
+    the document's own window count — row-sized, never corpus-sized), and
+    the cut itself a pure in-row projection.  Three near-uniform-key
+    shuffles, nothing driver-side."""
+    ex = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(window_keys(F.col(text_col), n)).alias("__pos", "__w"),
+    )
+    keepers = ex.groupBy("__w").agg(
+        F.min(F.struct("__id", "__pos")).alias("__k")
+    )
+    is_dup = (F.col("__id") != F.col("__k.__id")) | (
+        F.col("__pos") != F.col("__k.__pos")
+    )
+    dup_starts = (
+        ex.join(keepers, "__w")
+        .filter(is_dup)
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
+    )
+    toks = tokens(F.col(text_col))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("__starts"),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    cut = F.array_join(
+        F.filter(toks, lambda x, i: ~F.array_contains(covered, i)), " "
+    )
+    return (
+        docs.join(dup_starts,
+                  docs[id_col] == dup_starts["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__starts").isNull(), F.col(text_col))
+            .otherwise(cut)
+            .alias(text_col),
+        )
+    )
+
+
+def duck_exact_substr_sql(
+    docs_rel: str = "documents",
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`exact_substr_cut`: ROW_NUMBER first
+    occurrence, per-document dup-start list, covered-index union, 1-based
+    ``list_filter`` index rebuild."""
+    prelude = f"{prelude_ctes}," if prelude_ctes else ""
+    return f"""
+        WITH {prelude} toks AS (
+            SELECT {id_col} AS id,
+                   string_split(trim({text_col}), ' ') AS t,
+                   {text_col} AS orig
+            FROM {docs_rel}
+        ),
+        keyed AS (
+            SELECT id,
+                   CAST(unnest(range(0, greatest(len(t) - {n} + 1, 1)))
+                        AS BIGINT) AS pos,
+                   t
+            FROM toks
+        ),
+        flagged AS (
+            SELECT id, pos,
+                   row_number() OVER (
+                       PARTITION BY substr(md5(array_to_string(
+                           t[CAST(pos + 1 AS BIGINT) :
+                             CAST(pos + {n} AS BIGINT)], ' ')), 1, 16)
+                       ORDER BY id, pos) AS rn
+            FROM keyed
+        ),
+        dup AS (
+            SELECT id,
+                   list_distinct(flatten(list_transform(
+                       list_sort(list(pos)),
+                       s -> range(s, s + {n})))) AS covered
+            FROM flagged WHERE rn > 1 GROUP BY id
+        )
+        SELECT toks.id AS {id_col},
+               CASE WHEN dup.covered IS NULL THEN toks.orig
+                    -- duckdb's array_to_string of an empty list is NULL;
+                    -- spark's array_join is '' (the fully-cut-doc case)
+                    ELSE COALESCE(array_to_string(
+                        list_filter(toks.t,
+                                    (x, i) -> NOT list_contains(
+                                        dup.covered, i - 1)), ' '), '')
+               END AS {text_col}
+        FROM toks LEFT JOIN dup ON toks.id = dup.id
+    """
+
+
 def duck_dup_window_sql(
     docs_rel: str = "documents",
     n: int = 10,

@@ -618,8 +618,9 @@ def clean_pipeline(
     decontam_k: int = 13,
     max_dup_window: float | None = None,
     dup_window_n: int = 10,
+    dup_window_mode: str = "drop",
 ) -> DataFrame:
-    """Gate -> [decontaminate] -> exact dedup -> [ExactSubstr drop] ->
+    """Gate -> [decontaminate] -> exact dedup -> [ExactSubstr drop/cut] ->
     near-dup collapse -> drop.
 
     Stages (each individually oracle-gated elsewhere; the composition is
@@ -650,13 +651,17 @@ def clean_pipeline(
     the benchmark frame are dropped (operators/curation.decontaminate —
     benchmark grams broadcast, so the stage costs one map-side join).
 
-    ``max_dup_window`` adds the ExactSubstr document-level stage between
-    exact dedup and the pair stage: documents whose corpus-wide
-    duplicated-``dup_window_n``-token-window fraction exceeds the
-    threshold are dropped (operators/curation.drop_window_dups) — run
-    after exact dedup so byte-identical copies don't inflate the window
-    statistics, before the pair stage so mostly-secondhand documents
-    never reach the quadratic candidate generation.
+    ``max_dup_window`` adds the ExactSubstr stage between exact dedup and
+    the pair stage — run after exact dedup so byte-identical copies don't
+    inflate the window statistics, before the pair stage so secondhand
+    text never reaches the quadratic candidate generation.
+    ``dup_window_mode`` picks its form: ``"drop"`` removes whole
+    documents over the ``max_dup_window`` fraction threshold
+    (operators/curation.drop_window_dups); ``"cut"`` instead SURGICALLY
+    removes the duplicated windows from every document, first
+    corpus-wide occurrence keeping its text (curation.exact_substr_cut,
+    the Lee et al. transform — ``max_dup_window`` still gates which
+    documents are eligible first, pass 1.0 to cut everywhere).
     """
     from crawler_to_md_spark.operators.textstats import token_count
 
@@ -681,6 +686,15 @@ def clean_pipeline(
             survivors, max_fraction=max_dup_window, n=dup_window_n,
             id_col=id_col, text_col=text_col,
         )
+        if dup_window_mode == "cut":
+            cut = curation.exact_substr_cut(
+                survivors, n=dup_window_n,
+                id_col=id_col, text_col=text_col)
+            survivors = survivors.drop(text_col).join(cut, id_col)
+        elif dup_window_mode != "drop":
+            raise ValueError(
+                f"dup_window_mode must be 'drop' or 'cut', got "
+                f"{dup_window_mode!r}")
 
     pair_input = survivors.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)

@@ -323,3 +323,56 @@ class TestCleanPipelineDupWindowStage:
         kept_off = sorted(r["doc_id"] for r in clean_pipeline(
             docs, min_tokens=3, threshold=0.99, k=3).collect())
         assert kept_off == [1, 2, 3]
+
+
+class TestExactSubstrCut:
+    ROWS = [
+        (1, "a b c d e f g h i j unique tail one two three"),
+        (2, "a b c d e f g h i j different ending here now ok"),
+        (3, "totally fresh words with no overlap at all here yes"),
+        (4, "a b c d e f g h i j"),        # fully covered later copy
+        (5, "x x x"),                      # short doc (partial window)
+        (6, "x x x"),                      # exact dup of the short doc
+    ]
+
+    def _run(self, spark, n=10):
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        return {r["doc_id"]: r["text"]
+                for r in curation.exact_substr_cut(docs, n=n).collect()}
+
+    def test_first_occurrence_keeps_text(self, spark):
+        got = self._run(spark)
+        assert got[1] == self.ROWS[0][1]       # byte-identical pass-through
+        assert got[3] == self.ROWS[2][1]
+        assert got[5] == "x x x"
+
+    def test_later_copies_are_cut(self, spark):
+        got = self._run(spark)
+        assert got[2] == "different ending here now ok"  # shared prefix cut
+        assert got[4] == ""                              # fully covered
+        assert got[6] == ""                              # short-doc dup
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+        import pandas as pd
+
+        got = self._run(spark)
+        con = duckdb.connect()
+        con.register("t_in", pd.DataFrame(self.ROWS,
+                                          columns=["doc_id", "text"]))
+        want = {r[0]: r[1] for r in con.sql(
+            curation.duck_exact_substr_sql("t_in", n=10)).fetchall()}
+        assert got == want
+
+    def test_overlapping_windows_merge(self, spark):
+        # doc 2 repeats doc 1's tokens 0..11 -> windows at pos 0,1,2 all
+        # dup; covered union = [0, 12): one contiguous cut, no stutter
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(12)) + " tail_one"),
+            (2, " ".join(f"w{i}" for i in range(12)) + " tail_two"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in curation.exact_substr_cut(docs, n=10).collect()}
+        assert got[1] == rows[0][1]
+        assert got[2] == "tail_two"

@@ -570,3 +570,27 @@ def test_audio_stub_contracts():
         multimodal.sample_audio(b"x", 0, 2)
     # too-short payload: zero windows, not an error
     assert multimodal.sample_audio(b"x" * 100, 4, 2) == []
+
+
+def test_clean_pipeline_dup_window_cut_mode(spark):
+    """dup_window_mode='cut': eligible documents keep their row but lose
+    their secondhand windows (first occurrence keeps its text)."""
+    rows = [
+        (1, "a b c d e f g h i j k l unique original tail words here"),
+        (2, "a b c d e f g h i j k l totally different second half text"),
+        (3, "independent content row with plenty of its own words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup.clean_pipeline(
+               docs, min_tokens=3, threshold=0.95,
+               max_dup_window=1.0, dup_window_n=10,
+               dup_window_mode="cut").collect()}
+    assert out[1] == rows[0][1]                     # first occurrence intact
+    assert "a b c" not in out[2]                    # shared prefix cut
+    assert "different second half" in out[2]
+    assert out[3] == rows[2][1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dup_window_mode"):
+        dedup.clean_pipeline(docs, max_dup_window=1.0,
+                             dup_window_mode="nope").count()
