@@ -136,6 +136,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --clean: also drop documents whose "
                         "corpus-wide duplicated-10-token-window fraction "
                         "exceeds this (ExactSubstr document-level stage)")
+    p.add_argument("--clean-dup-window-mode", choices=("drop", "cut"),
+                   default="drop",
+                   help="--clean-dup-window form: 'drop' removes whole "
+                        "over-threshold documents; 'cut' surgically "
+                        "removes the duplicated windows from every "
+                        "eligible document, first corpus-wide occurrence "
+                        "keeping its text (Lee et al. ExactSubstr)")
     p.add_argument("--decontaminate-bench", default=None,
                    help="Parquet of benchmark documents (a 'text' column); "
                         "with --clean, training docs sharing any "
@@ -191,6 +198,7 @@ def _clean_docs(spark, args, ok_docs):
                        # the exact form backs the oracle query
         bench=bench, decontam_k=args.decontaminate_k,
         max_dup_window=args.clean_dup_window,
+        dup_window_mode=args.clean_dup_window_mode,
     ).drop("__did")
 
 

@@ -435,3 +435,31 @@ def test_sitemap_discover_seeds_from_robots(spark, tmp_path, corpus_path,
     sub = os.listdir(out)
     files = os.listdir(os.path.join(out, sub[0]))
     assert any(f.endswith(".md") for f in files)
+
+
+def test_clean_dup_window_cut_mode(spark, tmp_path):
+    """--wet-input --clean --clean-dup-window-mode cut: documents keep
+    their rows but lose corpus-wide duplicated windows before packing."""
+    from crawler_to_md_spark.sources import archive
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [("https://h/1", shared + " original tail with plenty words"),
+         ("https://h/2", shared + " second doc keeps only this part"),
+         ("https://h/3", "fresh standalone row of entirely new words")],
+        "url string, text string")
+    wet = str(tmp_path / "cut_wet")
+    archive.write_wet(docs, wet)
+    shards = str(tmp_path / "cut_shards")
+    rc = cli.main(["--wet-input", wet, "--training-shards-dir", shards,
+                   "--clean", "--clean-threshold", "0.95",
+                   "--clean-min-tokens", "3",
+                   "--clean-dup-window", "1.0",
+                   "--clean-dup-window-mode", "cut",
+                   "--token-budget", "64"], spark=spark)
+    assert rc == 0
+    back = {r["url"]: r["n_tokens"]
+            for r in spark.read.parquet(shards).collect()}
+    assert len(back) == 3                      # cut, not dropped
+    # doc 2 lost the 12 shared tokens; doc 1 (first occurrence) did not
+    assert back["https://h/1"] > back["https://h/2"]
