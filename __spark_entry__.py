@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.markdown import spans_to_markdown_expr
 from crawler_to_md_spark.operators import (
+    crawlhealth,
     curation,
     dedup,
     interleaved,
@@ -1153,6 +1154,86 @@ def _q_crawl_report(spark, sf_dir):
     return _engine(spark, sf_dir).crawl_report()
 
 
+SOFT404_TEXT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'Page not found.' ELSE text END"
+)
+TRAP_URL_SQL = (
+    "'https://' || host || '/cal/day?date=2026-' || CAST(doc_id AS STRING)"
+    " || '-' || CAST(d AS STRING)"
+)
+SPLITS = [("train", 80), ("val", 10), ("test", 10)]
+
+
+def _q_soft404_report(spark, sf_dir):
+    """Soft-404 detection (operators/crawlhealth.soft404_report): every
+    third document's body is REPLACED by a constant 'Page not found.'
+    placeholder, so each host serves a dominant duplicate digest; the
+    report must flag exactly the (host, digest) families clearing the
+    3-page floor and the 20% integer share test.  Oracle = the GROUP
+    BY / HAVING twin over the same planted page table."""
+    g = "doc_id"
+    pages = _docs(spark, sf_dir).selectExpr(
+        f"{corpus.HOST_SQL.format(g=g)} AS host",
+        f"{corpus.URL_SQL.format(g=g)} AS url",
+        f"{SOFT404_TEXT_SQL} AS text",
+    )
+    return crawlhealth.soft404_report(
+        pages, min_pages=3, share_num=1, share_den=5)
+
+
+def _q_trap_report(spark, sf_dir):
+    """Crawl-trap detection (operators/crawlhealth.trap_report): every
+    even document fans out 20 calendar URLs ('/cal/day?date=2026-D'), so
+    each host grows a URL family that collapses to one template
+    ('/cal/day?date=*') with dozens-to-thousands of members, while the
+    organic '/docs/pN' family stays under the threshold on small hosts.
+    Oracle recomputes templates with DuckDB regexp_replace(..., 'g')."""
+    g = "doc_id"
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{corpus.HOST_SQL.format(g=g)} AS host",
+        f"{corpus.URL_SQL.format(g=g)} AS url",
+    )
+    base = docs.select("host", "url")
+    planted = (
+        docs.filter("doc_id % 2 = 0")
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .selectExpr("host", f"{TRAP_URL_SQL} AS url")
+    )
+    return crawlhealth.trap_report(base.union(planted), min_urls=50)
+
+
+def _q_shuffle_split(spark, sf_dir):
+    """Deterministic split assignment + global shuffle order
+    (operators/sampling.split_assign / global_shuffle_pos): 80/10/10
+    hash-bucket splits (a row's split survives corpus growth) and a
+    reproducible md5-order permutation ranked by the certified two-phase
+    prefix machinery.  Oracle = the same '0x'-cast md5 arithmetic +
+    ROW_NUMBER."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    out = sampling.split_assign(docs, ["doc_id"], SPLITS)
+    out = sampling.global_shuffle_pos(out, ["doc_id"])
+    return out.select("doc_id", "split", "shuffle_pos")
+
+
+def _q_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (operators/curation.semantic_decontaminate): every 25th corpus vector
+    doubles as a held-out eval item (exact copy ⇒ cosine 1.0 planted
+    hits), the eval side broadcast with precomputed norms; flagged train
+    docs roll up to (vec_id, n_eval_hits, max_cos).  Oracle = all-pairs
+    list_cosine_similarity at the same round-6 threshold."""
+    emb = _emb(spark, sf_dir)
+    train = emb.selectExpr(
+        "CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+    eval_ = emb.filter("vec_id % 25 = 0").selectExpr(
+        "CAST(vec_id AS BIGINT) + 5000000 AS eval_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+    return curation.semantic_decontaminate(train, eval_, threshold=0.98)
+
+
 def _q_dup_windows(spark, sf_dir):
     """Corpus-wide exact-substring duplication (operators/curation.py
     dup_window_fraction, the ExactSubstr document-level signal): every
@@ -1289,6 +1370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_windows": _q_dup_windows,
         "exact_substr_cut": _q_exact_substr_cut,
         "crawl_report": _q_crawl_report,
+        "soft404_report": _q_soft404_report,
+        "trap_report": _q_trap_report,
+        "shuffle_split": _q_shuffle_split,
+        "semantic_decontam": _q_semantic_decontam,
         "wet_roundtrip": _q_wet_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
         "audio_window_sample": _q_audio_window_sample,
@@ -1638,6 +1723,41 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus_reach r JOIN corpus_meta m ON m.g = r.g
             GROUP BY 1
         """,
+        "soft404_report": crawlhealth.duck_soft404_sql(
+            "pages", min_pages=3, share_num=1, share_den=5,
+            prelude_ctes=f"""pages AS (
+                SELECT {corpus.HOST_SQL.format(g='doc_id')} AS host,
+                       {corpus.URL_SQL.format(g='doc_id')} AS url,
+                       {SOFT404_TEXT_SQL} AS text
+                FROM documents
+            )"""),
+        "trap_report": crawlhealth.duck_trap_sql(
+            "urls", min_urls=50,
+            prelude_ctes=f"""urls AS (
+                SELECT {corpus.HOST_SQL.format(g='doc_id')} AS host,
+                       {corpus.URL_SQL.format(g='doc_id')} AS url
+                FROM documents
+                UNION ALL
+                SELECT host, {TRAP_URL_SQL} AS url
+                FROM (SELECT {corpus.HOST_SQL.format(g='doc_id')} AS host,
+                             doc_id
+                      FROM documents WHERE doc_id % 2 = 0) s,
+                     range(0, 20) t(d)
+            )"""),
+        "shuffle_split": sampling.duck_split_shuffle_sql(
+            "documents", "doc_id", SPLITS),
+        "semantic_decontam": curation.duck_semantic_decontam_sql(
+            "train", "ev", threshold=0.98,
+            prelude_ctes="""train AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+            ),
+            ev AS (
+                SELECT CAST(vec_id AS BIGINT) + 5000000 AS eval_id,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE vec_id % 25 = 0
+            )"""),
         "dup_windows": curation.duck_dup_window_sql(
             docs_rel="train", n=10,
             prelude_ctes="""train AS (

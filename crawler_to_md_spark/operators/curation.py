@@ -782,3 +782,82 @@ def duck_dup_window_sql(
                    AS dup_fraction
         FROM flagged GROUP BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training documents
+    whose embedding is cosine-``threshold``-close to ANY held-out eval
+    embedding — the semantic complement of the k-gram overlap rule
+    (:func:`decontaminate`), catching paraphrased benchmark leakage that
+    shares no exact shingle.
+
+    ``train`` has (``id_col``, ``emb`` array<double>); ``eval_`` has
+    (``eval_id_col``, ``emb``).  The eval side is small by construction
+    (thousands of benchmark items vs a 10^10-doc corpus) so it is
+    explicitly broadcast with its norms precomputed — the train side
+    streams through a BroadcastNestedLoopJoin once, and only flagged
+    (train-id, 1) pairs reach the partial-aggregated rollup.  Cosines are
+    rounded to 6 places BEFORE the threshold test and the max-aggregate
+    (the repo's established cross-engine float discipline —
+    similarity.embedding_near_dups).  At web scale the exact BNLJ is the
+    certified baseline; the banded pre-filter (similarity.simhash_sketch
+    bands, N3) drops non-candidates before the dot product with identical
+    survivors.
+
+    Returns (``id_col``, n_eval_hits, max_cos) per contaminated train doc.
+    """
+    from crawler_to_md_spark.operators.similarity import _dot, _norm
+
+    tn = train.select(
+        F.col(id_col), F.col("emb").alias("__tvec")
+    ).withColumn("__tnrm", _norm(F.col("__tvec")))
+    en = eval_.select(
+        F.col(eval_id_col), F.col("emb").alias("__evec")
+    ).withColumn("__enrm", _norm(F.col("__evec")))
+    cos = F.round(
+        _dot(F.col("__tvec"), F.col("__evec"))
+        / (F.col("__tnrm") * F.col("__enrm")),
+        6,
+    )
+    pairs = tn.crossJoin(F.broadcast(en)).withColumn("__cos", cos)
+    return (
+        pairs.filter(F.col("__cos") >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("__cos").alias("max_cos"),
+        )
+    )
+
+
+def duck_semantic_decontam_sql(
+    train_rel: str,
+    eval_rel: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    prelude_ctes: str = "",
+) -> str:
+    """All-pairs oracle twin of :func:`semantic_decontaminate` — the
+    oracle may brute-force what the engine broadcasts."""
+    with_clause = f"WITH {prelude_ctes}" if prelude_ctes else ""
+    return f"""
+        {with_clause}
+        SELECT CAST(t.{id_col} AS BIGINT) AS {id_col},
+               CAST(count(*) AS BIGINT) AS n_eval_hits,
+               max(round(list_cosine_similarity(t.emb, e.emb), 6))
+                   AS max_cos
+        FROM {train_rel} t JOIN {eval_rel} e
+          ON round(list_cosine_similarity(t.emb, e.emb), 6) >= {threshold}
+        GROUP BY 1
+    """

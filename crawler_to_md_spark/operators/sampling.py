@@ -107,3 +107,102 @@ def mixture_report(
             F.round(F.col("weight") / F.col("__total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split assignment + global shuffle order
+# ---------------------------------------------------------------------------
+
+
+def split_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: list[tuple[str, int]],
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test (or arbitrary) split assignment.
+
+    ``splits`` is an ordered list of (label, weight) pairs; a row's bucket
+    is the first 32 bits of md5(seed|key) mod the total weight, mapped to
+    labels by cumulative ranges.  Hash-based (not positional), so a row's
+    split never changes when the corpus grows — the property an eval
+    holdout needs across recrawls.  Pure scan-side projection: no shuffle,
+    no Python, reproducible in any engine that has md5 (the oracle uses
+    DuckDB's).  Appends a ``split`` column.
+    """
+    total = sum(w for _, w in splits)
+    h = F.conv(
+        F.substring(sample_key(*key_cols) if not seed else F.md5(
+            F.concat_ws("|", F.lit(seed),
+                        *[F.col(c).cast("string") for c in key_cols])),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    bucket = h % F.lit(total)
+    expr = None
+    cum = 0
+    for label, w in splits:
+        cond = bucket < F.lit(cum + w)
+        expr = F.when(cond, F.lit(label)) if expr is None \
+            else expr.when(cond, F.lit(label))
+        cum += w
+    return df.withColumn("split", expr)
+
+
+def global_shuffle_pos(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: str = "",
+    pos_col: str = "shuffle_pos",
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle order for training: ``pos_col`` is the
+    0-based rank of md5(seed|key) — a reproducible pseudo-random
+    permutation of the corpus (the "global shuffle" a dataloader wants,
+    computed once at corpus build).  The rank comes from the certified
+    two-phase distributed prefix machinery (operators/seq.py — range
+    repartition + frozen layout + mid-based arithmetic, never a
+    single-task global window), ordered by the hash with the key columns
+    as total-order tie-break."""
+    if seed:
+        key = F.md5(F.concat_ws(
+            "|", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]))
+    else:
+        key = sample_key(*key_cols)
+    with_key = df.withColumn("__shuf_key", key)
+    from crawler_to_md_spark.operators.seq import with_ordered_seq
+
+    out = with_ordered_seq(
+        with_key, ["__shuf_key", *key_cols], seq_col=pos_col,
+        approx_rows=approx_rows,
+    )
+    return out.drop("__shuf_key")
+
+
+def duck_split_shuffle_sql(
+    docs_rel: str,
+    key_col: str,
+    splits: list[tuple[str, int]],
+    seed: str = "",
+) -> str:
+    """Oracle twin: same md5 arithmetic via DuckDB's '0x'-cast, same
+    cumulative CASE, ROW_NUMBER for the shuffle rank."""
+    total = sum(w for _, w in splits)
+    if seed:
+        key = f"md5('{seed}' || '|' || CAST({key_col} AS STRING))"
+    else:
+        key = f"md5(CAST({key_col} AS STRING))"
+    bucket = f"(('0x' || substr({key}, 1, 8))::BIGINT % {total})"
+    case = "CASE"
+    cum = 0
+    for label, w in splits:
+        case += f" WHEN {bucket} < {cum + w} THEN '{label}'"
+        cum += w
+    case += " END"
+    return f"""
+        SELECT CAST({key_col} AS BIGINT) AS {key_col},
+               {case} AS split,
+               CAST(row_number() OVER (ORDER BY {key}, {key_col}) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM {docs_rel}
+    """
