@@ -167,6 +167,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Also export the crawled ok-pages (markdown text) "
                         "as a WET-style archive at this directory — the "
                         "bulk handoff format for downstream pipelines")
+    p.add_argument("--trap-threshold", type=int, default=None,
+                   help="Crawl-trap guard: each wave drops pending URLs "
+                        "whose (host, template) family has at least this "
+                        "many distinct URLs (digit runs and query values "
+                        "masked — calendar/session-id/facet explosions "
+                        "never reach the dequeue; "
+                        "operators/crawlhealth.drop_trap_urls)")
+    p.add_argument("--drop-soft404", action="store_true", default=False,
+                   help="Before --training-shards-dir packing/cleaning, "
+                        "drop pages whose body digest dominates its host "
+                        "(>= 3 pages and >= half the host's OK pages — "
+                        "soft-404 placeholder bodies; "
+                        "operators/crawlhealth.drop_soft404)")
     p.add_argument("--small-export", action="store_true", default=False,
                    help="Assemble compiled exports on the driver (collect) "
                         "instead of the default executor-written sharded "
@@ -330,6 +343,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         css_include=args.include,
         css_exclude=args.exclude,
         seen_filter=args.seen_filter,
+        trap_min_urls=args.trap_threshold,
     )
     # ---- robots gate (north-rule robots.txt gating) ----------------------
     robots_df = None
@@ -426,6 +440,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         ok_docs = docs.filter(F.col("status") == "ok").select(
             "url", F.expr(spans_to_markdown_expr("spans")).alias("text"))
+        if args.drop_soft404:
+            from crawler_to_md_spark.operators.crawlhealth import (
+                drop_soft404,
+            )
+
+            ok_docs = drop_soft404(
+                ok_docs.join(links.select("url", "host"), "url")
+            ).select("url", "text")
         if args.clean:
             ok_docs = _clean_docs(spark, args, ok_docs)
         exports.export_training_shards(

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from crawler_to_md_spark.functions import urlkit
 from crawler_to_md_spark.functions.bloom import BloomShardStore
 from crawler_to_md_spark.operators import schedule
+from crawler_to_md_spark.operators.crawlhealth import drop_trap_urls
 from crawler_to_md_spark.operators.politeness import (
     Pacer,
     global_cap,
@@ -181,6 +182,13 @@ class CrawlConfig:
     # frontier/B stays a comfortable parquet file (10^10 URLs -> B ~ 64k);
     # local tests/bench use the default
     store_buckets: int = 64
+    # crawl-trap guard: when set, each wave's pending set drops every URL
+    # whose (host, url-template) family has >= this many distinct pending
+    # URLs (operators/crawlhealth.drop_trap_urls — calendar/session-id/
+    # facet explosions never reach the dequeue).  Costs one distinct +
+    # partial-agg + anti-join over the pending set per wave; leave None
+    # unless the frontier is domain-unbounded.
+    trap_min_urls: int | None = None
 
 
 class CrawlEngine:
@@ -463,6 +471,11 @@ class CrawlEngine:
             # hosts, shuffled left join above (politeness.py).
             pending = robots_filter(pending, self.robots,
                                     self._robots_host_count())
+        if cfg.trap_min_urls is not None:
+            # trap guard: URL-template families that exploded past the
+            # threshold are excluded from this wave's dequeue (they stay
+            # unvisited rows — raising the threshold later re-admits them)
+            pending = drop_trap_urls(pending, cfg.trap_min_urls)
         pending = host_priority_join(pending, self.host_priority,
                                      self._host_priority_hint)
 
@@ -887,8 +900,13 @@ class CrawlEngine:
         # rows never dequeue, so an ungated count would over-report and the
         # arithmetic counter below would pay one extra empty wave before
         # the n==0 break
-        pending = robots_filter(pending_df, self.robots,
-                                self._robots_host_count()).count()
+        gated = robots_filter(pending_df, self.robots,
+                              self._robots_host_count())
+        if self.config.trap_min_urls is not None:
+            # the trap guard excludes whole URL families from dequeue the
+            # same way — count through it for the same reason
+            gated = drop_trap_urls(gated, self.config.trap_min_urls)
+        pending = gated.count()
         from crawler_to_md_spark.progress import get_logger, wave_progress
 
         log = get_logger()

@@ -95,6 +95,24 @@ def soft404_urls(
     ).select("host", "url", "digest")
 
 
+def drop_soft404(
+    pages: DataFrame,
+    min_pages: int = SOFT404_MIN_PAGES,
+    share_num: int = SOFT404_SHARE[0],
+    share_den: int = SOFT404_SHARE[1],
+) -> DataFrame:
+    """The cleaning-pass complement of :func:`soft404_urls`: remove every
+    page whose (host, digest) family was flagged, keeping all input
+    columns.  Left-anti join on the small flagged set (AQE broadcasts it
+    until it outgrows the threshold)."""
+    report = soft404_report(pages, min_pages, share_num, share_den)
+    with_d = pages.withColumn("__s4_digest", F.md5(F.col("text")))
+    return with_d.join(
+        report.select("host", F.col("digest").alias("__s4_digest")),
+        ["host", "__s4_digest"], "left_anti",
+    ).drop("__s4_digest")
+
+
 def url_template(url: Column) -> Column:
     """Collapse a URL to its trap-detection template: every digit run
     becomes ``N``; every query/fragment value after ``=`` becomes ``*``.

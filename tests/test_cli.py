@@ -150,9 +150,11 @@ def test_flag_plumbing_into_config(spark, tmp_path, corpus_path, monkeypatch):
         "--include-url", "docs", "--exclude-url", "private",
         "--rate-limit", "30", "--delay", "0.5", "--timeout", "7",
         "--proxy", "http://proxy:1", "--max-retries", "2",
-        "--include", "#main", "--exclude", ".nav", name="plumb",
+        "--include", "#main", "--exclude", ".nav",
+        "--trap-threshold", "123", name="plumb",
     )
     c = captured["config"]
+    assert c.trap_min_urls == 123
     assert c.include_patterns == ["docs"] and c.exclude_patterns == ["private"]
     assert c.rate_limit == 30 and c.delay == 0.5 and c.timeout == 7
     assert c.proxy == "http://proxy:1" and c.max_retries == 2
@@ -242,9 +244,9 @@ def test_training_shards_export(spark, tmp_path, corpus_path):
         "--base-url", "https://h0.example.com/",
         "--corpus-parquet", corpus_path,
         "--training-shards-dir", shards, "--token-budget", "64",
-        name="ts",
+        "--drop-soft404", name="ts",
     )
-    assert rc == 0
+    assert rc == 0  # synthetic pages have unique bodies: nothing dropped
     dirs = glob.glob(os.path.join(shards, "file_id=*"))
     assert dirs
     back = spark.read.parquet(shards)

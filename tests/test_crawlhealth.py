@@ -190,3 +190,39 @@ class TestSemanticDecontam:
         plan = (curation.semantic_decontaminate(train, ev)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Engine trap guard (CrawlConfig.trap_min_urls)
+# ---------------------------------------------------------------------------
+
+class TestEngineTrapGuard:
+    def test_trap_family_never_dequeues(self, spark, tmp_path):
+        """Static frontier seeded with a 60-URL calendar family plus 5
+        organic pages: with trap_min_urls=50 the family is excluded from
+        every wave's dequeue (stays unvisited), the organic pages are
+        fetched, and the run terminates without paying for the trap."""
+        from crawler_to_md_spark.operators.crawl import (
+            CrawlConfig, CrawlEngine,
+        )
+        from crawler_to_md_spark.sources import corpus
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=0,
+                               discover_links=False, trap_min_urls=50),
+        )
+        trap = [f"https://h1.example.com/cal?date=2026-{i}"
+                for i in range(60)]
+        organic = [corpus.python_url(g) for g in (0, 3, 5, 8, 10)]
+        assert eng.seed(trap + organic) == 65
+        eng.run_to_completion()
+        rows = eng.links().collect()
+        trap_rows = [r for r in rows if "/cal?" in r["url"]]
+        organic_rows = [r for r in rows if "/docs/" in r["url"]]
+        assert len(trap_rows) == 60
+        assert all(not r["visited"] for r in trap_rows)
+        assert len(organic_rows) == 5
+        assert all(r["visited"] for r in organic_rows)
