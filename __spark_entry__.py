@@ -1234,6 +1234,35 @@ def _q_semantic_decontam(spark, sf_dir):
     return curation.semantic_decontaminate(train, eval_, threshold=0.98)
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Time-travel changelog (store/warehouse.snapshot_diff over REAL
+    snapshot commits): snapshot 1 holds the even documents, snapshot 2
+    drops ids ≡ 4 (mod 10), adds ids ≡ 5 (mod 10), and rewrites the text
+    of ids ≡ 0 (mod 6); the diff must report exactly those
+    added/removed/changed keys.  Oracle = the same membership arithmetic
+    as one CASE over documents."""
+    import tempfile
+
+    from crawler_to_md_spark.store.warehouse import (
+        SnapshotStore, snapshot_diff,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    store = SnapshotStore(
+        spark, tempfile.mkdtemp(prefix="cms_snapdiff_"))
+    store.commit({"corpus": docs.filter("doc_id % 2 = 0")}, batch_id=1)
+    v2 = docs.filter(
+        "(doc_id % 2 = 0 AND doc_id % 10 != 4) OR doc_id % 10 = 5"
+    ).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    store.commit({"corpus": v2}, batch_id=2)
+    return snapshot_diff(store, "corpus", 1, 2, ["doc_id"])
+
+
 def _q_dup_windows(spark, sf_dir):
     """Corpus-wide exact-substring duplication (operators/curation.py
     dup_window_fraction, the ExactSubstr document-level signal): every
@@ -1373,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_report": _q_soft404_report,
         "trap_report": _q_trap_report,
         "shuffle_split": _q_shuffle_split,
+        "snapshot_diff": _q_snapshot_diff,
         "semantic_decontam": _q_semantic_decontam,
         "wet_roundtrip": _q_wet_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
@@ -1746,6 +1776,15 @@ def oracle_sql() -> dict[str, str]:
             )"""),
         "shuffle_split": sampling.duck_split_shuffle_sql(
             "documents", "doc_id", SPLITS),
+        "snapshot_diff": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN doc_id % 10 = 5 THEN 'added'
+                        WHEN doc_id % 10 = 4 THEN 'removed'
+                        WHEN doc_id % 6 = 0 THEN 'changed' END AS change
+            FROM documents
+            WHERE doc_id % 10 = 5
+               OR (doc_id % 2 = 0 AND (doc_id % 10 = 4 OR doc_id % 6 = 0))
+        """,
         "semantic_decontam": curation.duck_semantic_decontam_sql(
             "train", "ev", threshold=0.98,
             prelude_ctes="""train AS (

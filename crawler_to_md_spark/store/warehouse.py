@@ -467,3 +467,45 @@ class SnapshotStore:
 
     def destroy(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def snapshot_diff(
+    store,
+    table: str,
+    batch_a: int,
+    batch_b: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Time-travel diff: what happened to ``table`` between two retained
+    snapshots — the Iceberg changelog-scan analog over this store's
+    snapshot history (works on any store exposing ``read_at``:
+    SnapshotStore and IcebergStore alike).
+
+    Rows are matched on ``key_cols``; all other columns are fingerprinted
+    with ``md5(to_json(struct(...)))`` (null-safe — to_json distinguishes
+    a null column from a shifted value, where a sequential hash fold would
+    not).  Returns ``key_cols + change`` with change ∈ {'added',
+    'removed', 'changed'}; unchanged rows are filtered before anything
+    else is computed, so the result is O(delta), not O(table).  One
+    shuffle: the full-outer join on the key.
+    """
+    def fingerprint(df: DataFrame) -> DataFrame:
+        rest = [c for c in df.columns if c not in key_cols]
+        return df.select(
+            *key_cols, F.md5(F.to_json(F.struct(*rest))).alias("__fp"))
+
+    a = fingerprint(store.read_at(table, batch_a)).withColumnRenamed(
+        "__fp", "__fp_a")
+    b = fingerprint(store.read_at(table, batch_b)).withColumnRenamed(
+        "__fp", "__fp_b")
+    joined = a.join(b, on=key_cols, how="full_outer")
+    change = (
+        F.when(F.col("__fp_a").isNull(), F.lit("added"))
+        .when(F.col("__fp_b").isNull(), F.lit("removed"))
+        .when(F.col("__fp_a") != F.col("__fp_b"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

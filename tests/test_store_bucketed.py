@@ -247,3 +247,36 @@ class TestTimeTravel:
         st.rollback()
         assert st.batch_id == 0
         assert st.lineage["frontier_offset"] == 0   # not the undone wave's
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed_and_null_safety(self, spark, tmp_path):
+        from crawler_to_md_spark.store.warehouse import (
+            SnapshotStore, snapshot_diff,
+        )
+
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        v1 = spark.createDataFrame(
+            [(1, "a", None), (2, "b", "x"), (3, None, "c"), (4, "keep", "k")],
+            "id long, c1 string, c2 string")
+        store.commit({"t": v1}, batch_id=1)
+        v2 = spark.createDataFrame(
+            # 1 unchanged; 2 dropped; 3 null-SHIFTED (None,'c')->('c',None)
+            # — must read as changed, not unchanged; 4 changed; 5 added
+            [(1, "a", None), (3, "c", None), (4, "keep", "K"), (5, "n", "w")],
+            "id long, c1 string, c2 string")
+        store.commit({"t": v2}, batch_id=2)
+        out = {r["id"]: r["change"]
+               for r in snapshot_diff(store, "t", 1, 2, ["id"]).collect()}
+        assert out == {2: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    def test_empty_diff_between_identical_snapshots(self, spark, tmp_path):
+        from crawler_to_md_spark.store.warehouse import (
+            SnapshotStore, snapshot_diff,
+        )
+
+        store = SnapshotStore(spark, str(tmp_path / "wh2"))
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        store.commit({"t": df}, batch_id=1)
+        store.commit({"t": df}, batch_id=2)
+        assert snapshot_diff(store, "t", 1, 2, ["id"]).count() == 0
