@@ -1339,6 +1339,43 @@ def _q_wet_roundtrip(spark, sf_dir):
     )
 
 
+WARC_HTML_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || "
+    "'</title></head><body><p>' || text || '</p></body></html>'"
+)
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC-response archive ingestion (sources/archive.py write_warc /
+    read_warc): documents wrapped as raw HTTP captures (status line, HTTP
+    headers, octet-framed body — every 7th page a 404) and re-read
+    through the same splittable record-boundary scan as WET.  The oracle
+    rebuilds the HTTP block string in SQL and recomputes both octet
+    Content-Lengths, so any framing or multi-byte miscount mismatches."""
+    import tempfile
+
+    from crawler_to_md_spark.sources import archive
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "'https://archive.example.org/' || source || '/' "
+        "|| CAST(doc_id AS STRING) AS url",
+        "CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status",
+        f"{WARC_HTML_SQL} AS html",
+    ).repartition(8)
+    path = tempfile.mkdtemp(prefix="entry_warc_") + "/warc"
+    archive.write_warc(docs, path, status_col="status", id_col="doc_id")
+    return archive.read_warc(spark, path).select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        "url", "kind",
+        "status_code",
+        "content_type",
+        "content_length",
+        F.md5("html").alias("digest"),
+        F.col("corrupt").isNotNull().alias("corrupt"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_class_histogram": _q_corpus_class_histogram,
@@ -1405,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "semantic_decontam": _q_semantic_decontam,
         "wet_roundtrip": _q_wet_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
         "audio_window_sample": _q_audio_window_sample,
     }
@@ -1776,6 +1814,39 @@ def oracle_sql() -> dict[str, str]:
             )"""),
         "shuffle_split": sampling.duck_split_shuffle_sql(
             "documents", "doc_id", SPLITS),
+        "warc_roundtrip": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://archive.example.org/' || source || '/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+                           AS status,
+                       {WARC_HTML_SQL} AS html
+                FROM documents
+            ),
+            blocks AS (
+                SELECT *,
+                       'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' ' ||
+                       CASE WHEN status = 200 THEN 'OK'
+                            ELSE 'Not Found' END ||
+                       chr(13) || chr(10) ||
+                       'Content-Type: text/html' || chr(13) || chr(10) ||
+                       'Content-Length: ' ||
+                       CAST(octet_length(encode(html)) AS VARCHAR) ||
+                       chr(13) || chr(10) || chr(13) || chr(10) || html
+                           AS block
+                FROM pages
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+                   'response' AS kind,
+                   CAST(status AS BIGINT) AS status_code,
+                   'text/html' AS content_type,
+                   CAST(octet_length(encode(block)) AS BIGINT)
+                       AS content_length,
+                   md5(html) AS digest,
+                   false AS corrupt
+            FROM blocks
+        """,
         "snapshot_diff": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CASE WHEN doc_id % 10 = 5 THEN 'added'

@@ -163,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "run the cleaning/packing path; requires "
                         "--training-shards-dir. Corrupt (unframeable) "
                         "records are dropped with a logged count")
+    p.add_argument("--warc-input", default=None,
+                   help="Skip crawling: ingest a WARC-response archive "
+                        "(raw HTTP captures, sources/archive.read_warc), "
+                        "extract clean 200 text/html pages to markdown, "
+                        "and run the cleaning/packing path; requires "
+                        "--training-shards-dir. --include/--exclude CSS "
+                        "filters apply to the extraction")
     p.add_argument("--export-wet-dir", default=None,
                    help="Also export the crawled ok-pages (markdown text) "
                         "as a WET-style archive at this directory — the "
@@ -233,6 +240,41 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
     if spark is None:
         spark = get_spark(app_name="crawler-to-md-spark", master=args.master)
+
+    # ---- archive ingestion: WARC -> extract -> clean -> shards -----------
+    if args.warc_input:
+        if not args.training_shards_dir:
+            parser.error("--warc-input requires --training-shards-dir")
+        from pyspark.sql import functions as F
+
+        from crawler_to_md_spark.functions.extraction import (
+            make_extract_udf,
+        )
+        from crawler_to_md_spark.functions.markdown import (
+            spans_to_markdown_expr,
+        )
+        from crawler_to_md_spark.sources import archive
+
+        recs = archive.read_warc(spark, args.warc_input)
+        pages = recs.filter(
+            "corrupt IS NULL AND kind = 'response' AND status_code = 200 "
+            "AND (content_type IS NULL OR content_type LIKE 'text/html%')")
+        n_dropped = recs.count() - pages.count()
+        if n_dropped:
+            print(f"Dropped {n_dropped} non-page/corrupt WARC records")
+        extract = make_extract_udf(args.include, args.exclude)
+        ok_docs = pages.select(
+            "url", extract(F.col("html")).alias("doc")
+        ).select(
+            "url",
+            F.expr(spans_to_markdown_expr("doc.spans")).alias("text"))
+        if args.clean:
+            ok_docs = _clean_docs(spark, args, ok_docs)
+        exports.export_training_shards(
+            ok_docs, budget=args.token_budget,
+            out_dir=args.training_shards_dir, order_cols=["url"])
+        print("Training shards exported to:", args.training_shards_dir)
+        return 0
 
     # ---- archive ingestion: WET -> clean -> shards, no crawl -------------
     if args.wet_input:

@@ -36,6 +36,7 @@ crawls instead of sockets.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -212,4 +213,183 @@ def read_wet_stream(
         _parse_fragments(reader.text(path))
         .filter(F.col("corrupt").isNull())
         .select("url", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC-response dialect (raw HTTP captures, the Common Crawl WARC shape)
+# ---------------------------------------------------------------------------
+
+H_TYPE = "WARC-Type"
+
+_CRLF = "\r\n"
+
+_STATUS_RE = re.compile(r"^HTTP/\d\.\d (\d{3})")
+
+#: minimal reason phrases the writer emits; the parser never needs them
+#: (it reads the numeric code), so unknown codes write a generic phrase
+_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+            429: "Too Many Requests", 500: "Internal Server Error"}
+
+_WARC_PARSED = StructType([
+    StructField("record_id", StringType()),
+    StructField("url", StringType()),
+    StructField("kind", StringType()),            # WARC-Type
+    StructField("status_code", LongType()),
+    StructField("content_type", StringType()),    # HTTP-level
+    StructField("content_length", LongType()),    # WARC block octets
+    StructField("html", StringType()),            # HTTP body
+    StructField("corrupt", StringType()),         # NULL = clean
+])
+
+
+def warc_records(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    status_col: str | None = None,
+    ctype_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """One WARC ``response`` record string per row: WARC headers framing
+    an HTTP/1.1 response block (status line, Content-Type,
+    Content-Length in octets, blank line, body).  Pure native projection
+    like :func:`wet_records` — both Content-Lengths are
+    ``octet_length`` so multi-byte payloads frame correctly."""
+    status = (F.col(status_col).cast("int") if status_col
+              else F.lit(200))
+    reason = F.lit("Status")
+    for code, phrase in _REASONS.items():
+        reason = F.when(status == code, F.lit(phrase)).otherwise(reason)
+    ctype = F.col(ctype_col) if ctype_col else F.lit("text/html")
+    body = F.coalesce(F.col(html_col), F.lit(""))
+    block = F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" "), reason,
+        F.lit(_CRLF), F.lit("Content-Type: "), ctype,
+        F.lit(_CRLF), F.lit("Content-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit(_SEP), body,
+    )
+    headers = [
+        F.lit(MARKER), F.lit(_CRLF),
+        F.lit(f"{H_TYPE}: response"), F.lit(_CRLF),
+    ]
+    if id_col is not None:
+        headers += [F.lit(f"{H_ID}: "), F.col(id_col).cast("string"),
+                    F.lit(_CRLF)]
+    headers += [
+        F.lit(f"{H_URI}: "), F.col(url_col), F.lit(_CRLF),
+        F.lit("Content-Type: application/http;msgtype=response"),
+        F.lit(_CRLF),
+        F.lit(f"{H_LEN}: "), F.octet_length(block).cast("string"),
+        F.lit(_SEP), block,
+    ]
+    return docs.select(F.concat(*headers).alias("record"))
+
+
+def write_warc(
+    docs: DataFrame,
+    path: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    status_col: str | None = None,
+    ctype_col: str | None = None,
+    id_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a WARC-response archive with the same record-terminator
+    layout as :func:`write_wet` (so :func:`read_warc` splits it)."""
+    recs = warc_records(docs, url_col=url_col, html_col=html_col,
+                        status_col=status_col, ctype_col=ctype_col,
+                        id_col=id_col)
+    recs.write.mode(mode).option("lineSep", _SEP).text(path)
+
+
+def _parse_warc_fragment(frag: str) -> dict:
+    """One lineSep-split fragment -> parsed WARC-response dict."""
+    out = {"record_id": None, "url": None, "kind": None,
+           "status_code": None, "content_type": None,
+           "content_length": None, "html": None, "corrupt": None}
+    head, sep, rest = frag.partition(_SEP)
+    if not sep:
+        out["corrupt"] = "no header/payload separator"
+        return out
+    headers: dict[str, str] = {}
+    for line in head.split("\r\n"):
+        if not line or line == MARKER:
+            continue
+        k, colon, v = line.partition(":")
+        if not colon:
+            out["corrupt"] = f"malformed header line: {line[:40]!r}"
+            return out
+        headers[k.strip()] = v.strip()
+    out["record_id"] = headers.get(H_ID)
+    out["url"] = headers.get(H_URI)
+    out["kind"] = headers.get(H_TYPE)
+    clen_s = headers.get(H_LEN)
+    if clen_s is None or not clen_s.isdigit():
+        out["corrupt"] = "missing/invalid Content-Length"
+        return out
+    clen = int(clen_s)
+    out["content_length"] = clen
+    raw = rest.encode("utf-8")
+    if len(raw) < clen:
+        out["corrupt"] = f"payload short: {len(raw)} of {clen} octets"
+        return out
+    tail = raw[clen:]
+    if tail not in (b"", _SEP.encode()):
+        out["corrupt"] = f"unexpected {len(tail)} trailing octets"
+        return out
+    if out["kind"] != "response":
+        # request/metadata/warcinfo records are valid, just not pages
+        return out
+    block = raw[:clen]
+    http_head, hsep, body = block.partition(_SEP.encode())
+    if not hsep:
+        out["corrupt"] = "http block missing header terminator"
+        return out
+    try:
+        head_text = http_head.decode("utf-8")
+        out["html"] = body.decode("utf-8")
+    except UnicodeDecodeError:
+        out["corrupt"] = "Content-Length splits a UTF-8 sequence"
+        return out
+    lines = head_text.split("\r\n")
+    m = _STATUS_RE.match(lines[0])
+    if not m:
+        out["corrupt"] = f"malformed status line: {lines[0][:40]!r}"
+        return out
+    out["status_code"] = int(m.group(1))
+    http_headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, colon, v = line.partition(":")
+        if colon:
+            http_headers[k.strip().lower()] = v.strip()
+    out["content_type"] = http_headers.get("content-type")
+    blen_s = http_headers.get("content-length")
+    if blen_s is not None and blen_s.isdigit() and int(blen_s) != len(body):
+        out["corrupt"] = (
+            f"http Content-Length {blen_s} != body {len(body)} octets")
+    return out
+
+
+@F.pandas_udf(_WARC_PARSED)
+def _parse_warc_udf(frags: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for batch in frags:
+        yield pd.DataFrame([_parse_warc_fragment(f) for f in batch],
+                           columns=_WARC_PARSED.fieldNames())
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC-response scan -> one typed row per record:
+    ``(record_id, url, kind, status_code, content_type, content_length,
+    html, corrupt)``.  Same splittable record-boundary ``lineSep`` scan
+    and quarantine semantics as :func:`read_wet`; non-``response``
+    records (request/metadata/warcinfo) parse as clean rows with NULL
+    html so callers can filter by ``kind``."""
+    frags = spark.read.option("lineSep", _SEP + MARKER + "\r\n").text(path)
+    return (
+        frags.filter(F.length(F.rtrim(F.col("value"))) > 0)
+        .select(_parse_warc_udf(F.col("value")).alias("r"))
+        .select("r.*")
     )

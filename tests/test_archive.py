@@ -211,3 +211,93 @@ class TestFramingProperty:
                         f"clean payload {t!r} failed to parse")
 
         run()
+
+
+# ---------------------------------------------------------------------------
+# WARC-response dialect
+# ---------------------------------------------------------------------------
+
+class TestWarc:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "https://a/x", 200, "<html><p>héllo→ page</p></html>"),
+             (2, "https://a/y", 404, "<html>not here</html>"),
+             (3, "https://a/z", 200, "")],
+            "id long, url string, status int, html string")
+
+    def test_roundtrip_status_and_octet_framing(self, spark, tmp_path):
+        p = str(tmp_path / "warc")
+        archive.write_warc(self._docs(spark), p,
+                           status_col="status", id_col="id")
+        rows = {r["record_id"]: r
+                for r in archive.read_warc(spark, p).collect()}
+        assert all(r["corrupt"] is None for r in rows.values())
+        assert rows["1"]["html"] == "<html><p>héllo→ page</p></html>"
+        assert rows["1"]["status_code"] == 200
+        assert rows["2"]["status_code"] == 404
+        assert rows["3"]["html"] == ""
+        assert all(r["kind"] == "response" and
+                   r["content_type"] == "text/html" for r in rows.values())
+
+    def test_non_response_records_parse_clean_with_null_html(
+            self, spark, tmp_path):
+        rec = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+               "Content-Length: 9\r\n\r\nrobots: x")
+        f = tmp_path / "w" ; f.mkdir()
+        (f / "a.warc").write_text(rec, newline="")
+        rows = archive.read_warc(spark, str(f)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["kind"] == "warcinfo" and r["corrupt"] is None
+        assert r["html"] is None and r["status_code"] is None
+
+    def test_http_content_length_mismatch_quarantined(self, spark, tmp_path):
+        body = "<html>x</html>"
+        block = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 f"Content-Length: 999\r\n\r\n{body}")
+        rec = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Target-URI: https://a/b\r\n"
+               f"Content-Length: {len(block.encode())}\r\n\r\n{block}")
+        f = tmp_path / "w2" ; f.mkdir()
+        (f / "a.warc").write_text(rec, newline="")
+        r = archive.read_warc(spark, str(f)).collect()[0]
+        assert r["corrupt"] is not None and "Content-Length" in r["corrupt"]
+
+    def test_malformed_status_line_quarantined(self, spark, tmp_path):
+        block = "NOT-HTTP nope\r\n\r\nbody"
+        rec = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"Content-Length: {len(block.encode())}\r\n\r\n{block}")
+        f = tmp_path / "w3" ; f.mkdir()
+        (f / "a.warc").write_text(rec, newline="")
+        r = archive.read_warc(spark, str(f)).collect()[0]
+        assert r["corrupt"] is not None and "status line" in r["corrupt"]
+
+    def test_writer_is_pure_projection(self, spark):
+        plan = (archive.warc_records(self._docs(spark), status_col="status")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestWarcCli:
+    def test_warc_input_to_training_shards(self, spark, tmp_path):
+        from crawler_to_md_spark import cli
+
+        docs = spark.createDataFrame(
+            [(i, f"https://w/p{i}", 200,
+              f"<html><head><title>T{i}</title></head><body>"
+              f"<h1>Doc {i}</h1><p>{'tok ' * 30}body {i}</p></body></html>")
+             for i in range(8)]
+            + [(99, "https://w/gone", 404, "<html>missing</html>")],
+            "id long, url string, status int, html string")
+        warc = str(tmp_path / "in.warc")
+        archive.write_warc(docs, warc, status_col="status", id_col="id")
+        shards = str(tmp_path / "shards")
+        rc = cli.main(["--warc-input", warc,
+                       "--training-shards-dir", shards,
+                       "--token-budget", "64"], spark=spark)
+        assert rc == 0
+        back = spark.read.parquet(shards)
+        rows = {r["url"]: r["text"] for r in back.collect()}
+        assert len(rows) == 8                      # 404 dropped
+        assert "https://w/gone" not in rows
+        assert rows["https://w/p0"].startswith("# Doc 0")
