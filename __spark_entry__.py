@@ -1217,6 +1217,21 @@ def _q_shuffle_split(spark, sf_dir):
     return out.select("doc_id", "split", "shuffle_pos")
 
 
+def _q_curriculum(spark, sf_dir):
+    """Curriculum-learning phase assignment
+    (operators/sampling.curriculum_buckets over the unigram-LM score):
+    corpus ranked easy→hard by lm_logprob (doc_id tie-break) through the
+    certified two-phase rank machinery, bucket = exact integer quantile
+    (rank·8 div n).  Oracle = the LM-score CTE + ROW_NUMBER + the same
+    integer division."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    scored = textstats.unigram_logprob(docs)
+    out = sampling.curriculum_buckets(
+        scored, "lm_logprob", ["doc_id"], n_buckets=8)
+    return out.select("doc_id", "bucket")
+
+
 def _q_semantic_decontam(spark, sf_dir):
     """Embedding-space benchmark decontamination
     (operators/curation.semantic_decontaminate): every 25th corpus vector
@@ -1441,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_split": _q_shuffle_split,
         "snapshot_diff": _q_snapshot_diff,
         "semantic_decontam": _q_semantic_decontam,
+        "curriculum": _q_curriculum,
         "wet_roundtrip": _q_wet_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
@@ -1814,6 +1830,13 @@ def oracle_sql() -> dict[str, str]:
             )"""),
         "shuffle_split": sampling.duck_split_shuffle_sql(
             "documents", "doc_id", SPLITS),
+        "curriculum": f"""
+            WITH scored AS ({textstats.duck_unigram_logprob_sql()})
+            SELECT doc_id,
+                   CAST(((row_number() OVER (ORDER BY lm_logprob, doc_id)
+                          - 1) * 8) // t.cnt AS BIGINT) AS bucket
+            FROM scored, (SELECT count(*) AS cnt FROM scored) t
+        """,
         "warc_roundtrip": f"""
             WITH pages AS (
                 SELECT doc_id,

@@ -206,3 +206,30 @@ def duck_split_shuffle_sql(
                     AS BIGINT) AS shuffle_pos
         FROM {docs_rel}
     """
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    key_cols: list[str],
+    n_buckets: int = 10,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """Curriculum-learning phase assignment: rank the corpus by
+    ``score_col`` (ascending — callers negate for hard-first) with
+    ``key_cols`` as the total-order tie-break, then ``bucket =
+    (rank · n_buckets) div n`` — exact integer quantile membership, no
+    floats, identical across engines and partitionings.  The rank comes
+    from the certified two-phase prefix machinery (operators/seq.py);
+    the row count is one scalar aggregate.  Appends ``bucket``."""
+    n = df.count()
+    from crawler_to_md_spark.operators.seq import with_ordered_seq
+
+    ranked = with_ordered_seq(
+        df, [score_col, *key_cols], seq_col="__cur_rank",
+        approx_rows=approx_rows)
+    out = ranked.withColumn(
+        "bucket",
+        F.expr(f"CAST((__cur_rank * {int(n_buckets)}) DIV {max(int(n), 1)} "
+               "AS BIGINT)"))
+    return out.drop("__cur_rank")

@@ -226,3 +226,41 @@ class TestEngineTrapGuard:
         assert all(not r["visited"] for r in trap_rows)
         assert len(organic_rows) == 5
         assert all(r["visited"] for r in organic_rows)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bucketing
+# ---------------------------------------------------------------------------
+
+class TestCurriculumBuckets:
+    def _scored(self, spark, n=100):
+        return spark.range(n).selectExpr(
+            "id AS doc_id", "CAST((id * 37) % 100 AS DOUBLE) AS score")
+
+    def test_exact_quantile_membership(self, spark):
+        out = sampling.curriculum_buckets(
+            self._scored(spark), "score", ["doc_id"], n_buckets=4)
+        sizes = {r["bucket"]: 0 for r in out.collect()}
+        by_bucket = {}
+        for r in out.collect():
+            by_bucket.setdefault(r["bucket"], []).append(r["score"])
+        assert sorted(by_bucket) == [0, 1, 2, 3]
+        assert all(len(v) == 25 for v in by_bucket.values())
+        # buckets are ordered: every score in bucket b <= min of bucket b+1
+        for b in range(3):
+            assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+    def test_partitioning_invariance(self, spark):
+        df = self._scored(spark, 97)            # non-divisible count
+        a = {(r["doc_id"], r["bucket"]) for r in sampling.curriculum_buckets(
+            df.repartition(7), "score", ["doc_id"], n_buckets=5).collect()}
+        b = {(r["doc_id"], r["bucket"]) for r in sampling.curriculum_buckets(
+            df.coalesce(1), "score", ["doc_id"], n_buckets=5).collect()}
+        assert a == b
+
+    def test_tie_break_is_total(self, spark):
+        # all-equal scores: bucket assignment is decided by doc_id alone
+        df = spark.range(40).selectExpr("id AS doc_id", "1.0 AS score")
+        out = {r["doc_id"]: r["bucket"] for r in sampling.curriculum_buckets(
+            df, "score", ["doc_id"], n_buckets=4).collect()}
+        assert all(out[i] == i // 10 for i in range(40))
