@@ -393,3 +393,96 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .select(_parse_warc_udf(F.col("value")).alias("r"))
         .select("r.*")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-file scan: the quarantine recovery path
+# ---------------------------------------------------------------------------
+
+_SEP_B = _SEP.encode()
+_MARKER_B = (_SEP + MARKER + _CRLF).encode()
+
+
+def _scan_file_exact(data: str) -> list[str]:
+    """Sequentially scan ONE archive file into record fragments using
+    Content-Length as the authoritative frame — a payload that embeds the
+    record separator (the case the splittable lineSep reader must
+    quarantine) is carried intact because nothing is split by pattern.
+    A record whose header is unparseable can't be skipped reliably; the
+    scanner emits it as-is (it will parse as corrupt) and resyncs at the
+    next record boundary."""
+    enc = data.encode("utf-8")
+    frags: list[str] = []
+    i = 0
+    n = len(enc)
+    while i < n:
+        j = enc.find(_SEP_B, i)
+        if j < 0:
+            frags.append(enc[i:].decode("utf-8", errors="replace"))
+            break
+        head = enc[i:j].decode("utf-8", errors="replace")
+        clen = None
+        for line in head.split("\r\n"):
+            k, colon, v = line.partition(":")
+            if colon and k.strip() == H_LEN and v.strip().isdigit():
+                clen = int(v.strip())
+        if clen is None or j + len(_SEP_B) + clen > n:
+            # unframeable: emit to the next record boundary (corrupt row)
+            # and resync there
+            k = enc.find(_MARKER_B, i)
+            end = n if k < 0 else k
+            frags.append(enc[i:end].decode("utf-8", errors="replace"))
+            i = n if k < 0 else k + len(_SEP_B)
+            continue
+        start = j + len(_SEP_B)
+        frags.append(enc[i:start + clen].decode("utf-8", errors="replace"))
+        i = start + clen
+        if enc[i:i + len(_SEP_B)] == _SEP_B:
+            i += len(_SEP_B)
+    return [f for f in frags if f.strip()]
+
+
+def _read_exact(spark: SparkSession, path: str, parse_fragment, schema):
+    import glob as _glob
+    import gzip as _gzip
+    import os as _os
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for fname in batch["file"]:
+                # newline="" preserves the \r\n record framing (universal
+                # newline translation would erase every separator)
+                opener = _gzip.open if fname.endswith(".gz") else open
+                with opener(fname, "rt", encoding="utf-8",
+                            newline="") as fh:
+                    data = fh.read()
+                rows += [parse_fragment(f)
+                         for f in _scan_file_exact(data)]
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    pattern = path if _os.path.isfile(path) else _os.path.join(path, "*")
+    files = sorted(
+        f for f in _glob.glob(pattern)
+        if _os.path.isfile(f) and not _os.path.basename(f).startswith(
+            ("_", ".")))
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(max(len(files), 1))
+    return files_df.mapInPandas(scan, schema=schema)
+
+
+def read_wet_exact(spark: SparkSession, path: str) -> DataFrame:
+    """EXACT WET scan: one task per archive file, records framed by
+    sequential Content-Length arithmetic instead of the lineSep pattern —
+    recovers payloads that embed the record boundary byte-identically
+    (the splittable :func:`read_wet`'s documented quarantine case).
+    Parallelism is per-FILE, so this is the recovery path you point at
+    quarantined shards, not the default 100 TB scan."""
+    return _read_exact(spark, path, _parse_fragment, _PARSED)
+
+
+def read_warc_exact(spark: SparkSession, path: str) -> DataFrame:
+    """EXACT WARC-response scan (see :func:`read_wet_exact`): the
+    recovery path for HTML bodies that embed the record boundary."""
+    return _read_exact(spark, path, _parse_warc_fragment, _WARC_PARSED)

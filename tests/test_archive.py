@@ -301,3 +301,77 @@ class TestWarcCli:
         assert len(rows) == 8                      # 404 dropped
         assert "https://w/gone" not in rows
         assert rows["https://w/p0"].startswith("# Doc 0")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-file recovery path
+# ---------------------------------------------------------------------------
+
+class TestExactScan:
+    def test_recovers_payload_embedding_record_boundary(
+            self, spark, tmp_path):
+        """The case the splittable reader MUST quarantine parses
+        byte-identically through the exact Content-Length scan."""
+        evil = "before\r\n\r\nWARC/1.0\r\nafter pretending to be a record"
+        rows = [ROWS[0], (9, "https://evil/", "en", evil), ROWS[1]]
+        path = os.path.join(str(tmp_path), "wet")
+        archive.write_wet(_docs(spark, rows).repartition(1), path,
+                          id_col="doc_id", lang_col="lang")
+        split = archive.read_wet(spark, path).collect()
+        assert any(r["corrupt"] is not None for r in split)  # the trade
+        exact = {r["record_id"]: r
+                 for r in archive.read_wet_exact(spark, path).collect()}
+        assert all(r["corrupt"] is None for r in exact.values())
+        assert exact["9"]["text"] == evil
+
+    def test_matches_splittable_reader_on_clean_archives(
+            self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "wet2")
+        archive.write_wet(_docs(spark, ROWS).repartition(2), path,
+                          id_col="doc_id", lang_col="lang")
+        a = {(r["record_id"], r["text"], r["corrupt"])
+             for r in archive.read_wet(spark, path).collect()}
+        b = {(r["record_id"], r["text"], r["corrupt"])
+             for r in archive.read_wet_exact(spark, path).collect()}
+        assert a == b
+
+    def test_unframeable_record_resyncs_not_fatal(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "wet3")
+        os.makedirs(path)
+        recs = [
+            "WARC/1.0\r\nWARC-Record-ID: 1\r\nContent-Length: 2\r\n\r\nok",
+            "WARC/1.0\r\nWARC-Record-ID: 2\r\n\r\nno content length",
+            "WARC/1.0\r\nWARC-Record-ID: 3\r\nContent-Length: 3\r\n\r\nfin",
+        ]
+        with open(os.path.join(path, "a.txt"), "w", newline="") as f:
+            f.write("\r\n\r\n".join(recs) + "\r\n\r\n")
+        out = archive.read_wet_exact(spark, path).collect()
+        by_id = {r["record_id"]: r for r in out}
+        assert by_id["1"]["corrupt"] is None and by_id["1"]["text"] == "ok"
+        assert by_id["3"]["corrupt"] is None and by_id["3"]["text"] == "fin"
+        assert by_id["2"]["corrupt"] is not None  # quarantined, not fatal
+
+    def test_warc_exact_recovers_embedded_boundary_body(
+            self, spark, tmp_path):
+        body = "<html>x\r\n\r\nWARC/1.0\r\ny</html>"
+        docs = spark.createDataFrame(
+            [(1, "https://a/x", 200, body)],
+            "id long, url string, status int, html string")
+        path = os.path.join(str(tmp_path), "warc")
+        archive.write_warc(docs, path, status_col="status", id_col="id")
+        split = archive.read_warc(spark, path).collect()
+        assert any(r["corrupt"] is not None for r in split)
+        [r] = archive.read_warc_exact(spark, path).collect()
+        assert r["corrupt"] is None and r["html"] == body
+
+    def test_gz_files_scan_transparently(self, spark, tmp_path):
+        import gzip
+
+        path = os.path.join(str(tmp_path), "wetgz")
+        os.makedirs(path)
+        rec = "WARC/1.0\r\nWARC-Record-ID: 7\r\nContent-Length: 5\r\n\r\nhello"
+        with gzip.open(os.path.join(path, "a.wet.gz"), "wt",
+                       encoding="utf-8", newline="") as f:
+            f.write(rec + "\r\n\r\n")
+        [r] = archive.read_wet_exact(spark, path).collect()
+        assert r["corrupt"] is None and r["text"] == "hello"
