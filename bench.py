@@ -430,6 +430,60 @@ def stage_ingest(spark, sf_dir) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stage_health(spark, sf_dir) -> dict:
+    """Crawl-health + dataset-assembly throughput (session-4 family):
+    soft-404 detection (two partial-agg shuffles + host join), crawl-trap
+    detection (distinct + template agg over a 1M-URL frontier with a
+    planted calendar explosion), and split+global-shuffle assignment (hash
+    split + certified two-phase rank) over the replicated corpus."""
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.operators import crawlhealth, sampling
+    from crawler_to_md_spark.sources.corpus import HOST_SQL, URL_SQL
+
+    reps = int(os.environ.get("CMS_CURATION_REPLICAS", "100"))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    docs = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).selectExpr(
+        "doc_id + r * 1000000 AS doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 'Page not found.' ELSE text END "
+        "AS text",
+    ).selectExpr(
+        "doc_id",
+        f"{HOST_SQL.format(g='doc_id')} AS host",
+        f"{URL_SQL.format(g='doc_id')} AS url",
+        "text",
+    ).repartition(64).persist()   # one-file corpus: see stage_curation
+    n = docs.count()
+    # frontier with a planted 20x calendar fan-out on even pages
+    urls = docs.select("host", "url").union(
+        docs.filter("doc_id % 2 = 0")
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .selectExpr(
+            "host",
+            "'https://' || host || '/cal/day?date=' "
+            "|| CAST(doc_id AS STRING) || '-' || CAST(d AS STRING) AS url"))
+    for _ in range(2):   # warm JIT; report second pass
+        t0 = time.time()
+        s404 = crawlhealth.soft404_report(docs, share_num=1, share_den=5)
+        s404_sum = s404.agg(F.sum(F.hash(*s404.columns))).first()[0]
+        traps = crawlhealth.trap_report(urls, min_urls=50)
+        trap_sum = traps.agg(F.sum(F.hash(*traps.columns))).first()[0]
+        ss = sampling.global_shuffle_pos(
+            sampling.split_assign(
+                docs.select("doc_id"), ["doc_id"],
+                [("train", 90), ("val", 5), ("test", 5)]),
+            ["doc_id"])
+        ss_sum = ss.agg(F.sum(F.hash(*ss.columns))).first()[0]
+        elapsed = time.time() - t0
+    docs.unpersist()
+    return {"sec": elapsed, "docs": int(n),
+            "soft404_hash": int(s404_sum), "trap_hash": int(trap_sum),
+            "split_hash": int(ss_sum), "docs_per_sec": n / elapsed}
+
+
 STAGES = {
     "crawl": stage_crawl,
     "schedule": stage_schedule,
@@ -439,6 +493,7 @@ STAGES = {
     "dedup": stage_dedup,
     "curation": stage_curation,
     "quality": stage_quality,
+    "health": stage_health,
 }
 
 
