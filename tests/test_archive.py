@@ -375,3 +375,38 @@ class TestExactScan:
             f.write(rec + "\r\n\r\n")
         [r] = archive.read_wet_exact(spark, path).collect()
         assert r["corrupt"] is None and r["text"] == "hello"
+
+
+class TestExactScanProperty:
+    def test_exact_scan_recovers_every_wellformed_payload(self):
+        """Property: the exact Content-Length scanner recovers EVERY
+        payload byte-identically for ANY payload set — including payloads
+        embedding the record boundary — with zero quarantines.  This is
+        the guarantee the splittable reader trades away; the pair of
+        properties documents the trade precisely."""
+        from hypothesis import given, settings, strategies as st
+
+        payload = st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   exclude_characters=["\x00"]),
+            max_size=200)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(payload, min_size=1, max_size=6))
+        def run(texts):
+            recs = []
+            for i, t in enumerate(texts):
+                recs.append(
+                    f"WARC/1.0\r\n{archive.H_ID}: {i}\r\n"
+                    f"{archive.H_URI}: u{i}\r\n"
+                    f"{archive.H_LEN}: {len(t.encode('utf-8'))}\r\n\r\n{t}")
+            stream = archive._SEP.join(recs) + archive._SEP
+            frags = archive._scan_file_exact(stream)
+            parsed = [archive._parse_fragment(f) for f in frags]
+            assert len(parsed) == len(texts)
+            for i, (t, p) in enumerate(zip(texts, parsed)):
+                assert p["corrupt"] is None, (t, p)
+                assert p["text"] == t
+                assert p["record_id"] == str(i)
+
+        run()
