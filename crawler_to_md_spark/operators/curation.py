@@ -158,7 +158,9 @@ def benchmark_grams(bench: DataFrame, text_col: str = "text",
 
 def decontaminate(train: DataFrame, bench: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  k: int = DECONTAM_K, impl: str = "pandas") -> DataFrame:
+                  k: int = DECONTAM_K, impl: str = "pandas",
+                  use_bloom: bool = False,
+                  bloom_bits: int = 1 << 24) -> DataFrame:
     """Per-training-document contamination report against a benchmark:
     ``(id_col, n_contaminated_grams, contaminated)`` for EVERY train row.
 
@@ -168,9 +170,24 @@ def decontaminate(train: DataFrame, bench: DataFrame,
     per-doc rollup moves partial-aggregated (doc_id, count) pairs only.
     Filter ``~contaminated`` to drop, or keep the counts for audit."""
     grams = benchmark_grams(bench, text_col, k, impl)
+    exploded = train.select(
+        F.col(id_col), F.explode(_gram_col(text_col, k, impl)).alias("gram"))
+    if use_bloom:
+        # the 10^8-gram eval-union case: a broadcast hash relation of gram
+        # STRINGS is GBs per executor, but a bloom of their 64-bit hashes
+        # is tens of MB.  The bloom is a PREFILTER — survivors still pass
+        # the exact broadcast join below, so false positives are removed
+        # and the result is bit-identical to the unbloomed path (pytested)
+        from crawler_to_md_spark.functions.bloom import BloomShards
+
+        shards = BloomShards.empty(
+            num_shards=4, m_bits=bloom_bits, num_hashes=7)
+        shards.add_dataframe(
+            grams.select(F.xxhash64("gram").alias("url_hash")))
+        mc = shards.might_contain_udf(train.sparkSession)
+        exploded = exploded.filter(mc(F.xxhash64("gram")))
     hits = (
-        train.select(F.col(id_col), F.explode(_gram_col(text_col, k, impl))
-                     .alias("gram"))
+        exploded
         .join(F.broadcast(grams), "gram")
         # shingles() is distinct per doc, so count(*) == distinct grams hit
         .groupBy(id_col)

@@ -175,6 +175,24 @@ class TestDecontaminate:
         # doc 4: "b2 b3 b4", "b3 b4 b5" from bench 100; "c1 c2 c3" from 101
         assert got[4]["n_contaminated_grams"] == 3
 
+    def test_bloom_prefilter_is_bit_identical(self, spark):
+        """use_bloom=True (hash-bloom gram prefilter + exact join on
+        survivors) must equal the unbloomed path exactly — the bloom only
+        removes sure-misses, the join removes its false positives."""
+        bench = spark.createDataFrame(
+            [(100, "b1 b2 b3 b4 b5"), (101, "c1 c2 c3 c4 c5 c6")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "x b1 b2 b3 y"), (2, "c4 c5 c6"), (3, "b1 b3 b2 c1 c3"),
+             (4, "b2 b3 b4 b5 q c1 c2 c3"), (5, "clean doc entirely")],
+            "doc_id long, text string")
+        plain = {tuple(r) for r in curation.decontaminate(
+            train, bench, k=3).collect()}
+        bloomed = {tuple(r) for r in curation.decontaminate(
+            train, bench, k=3, use_bloom=True,
+            bloom_bits=1 << 16).collect()}
+        assert plain == bloomed
+
     def test_report_covers_every_train_doc(self, spark):
         bench = spark.createDataFrame([(9, "z z z")],
                                       "doc_id long, text string")
