@@ -174,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Also export the crawled ok-pages (markdown text) "
                         "as a WET-style archive at this directory — the "
                         "bulk handoff format for downstream pipelines")
+    p.add_argument("--training-jsonl-dir", default=None,
+                   help="Also export the (optionally cleaned) ok-page "
+                        "markdown as JSONL — one {text, url} object per "
+                        "line (exports.export_training_jsonl, "
+                        "executor-written, 32 files)")
     p.add_argument("--trap-threshold", type=int, default=None,
                    help="Crawl-trap guard: each wave drops pending URLs "
                         "whose (host, template) family has at least this "
@@ -475,7 +480,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 "url", F.expr(spans_to_markdown_expr("spans")).alias("text")),
             args.export_wet_dir)
         print("WET archive exported to:", args.export_wet_dir)
-    if args.training_shards_dir:
+    if args.training_shards_dir or args.training_jsonl_dir:
         from crawler_to_md_spark.functions.markdown import (
             spans_to_markdown_expr,
         )
@@ -492,10 +497,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             ).select("url", "text")
         if args.clean:
             ok_docs = _clean_docs(spark, args, ok_docs)
-        exports.export_training_shards(
-            ok_docs, budget=args.token_budget,
-            out_dir=args.training_shards_dir, order_cols=["url"])
-        print("Training shards exported to:", args.training_shards_dir)
+        if args.training_shards_dir:
+            exports.export_training_shards(
+                ok_docs, budget=args.token_budget,
+                out_dir=args.training_shards_dir, order_cols=["url"])
+            print("Training shards exported to:",
+                  args.training_shards_dir)
+        if args.training_jsonl_dir:
+            exports.export_training_jsonl(
+                ok_docs, args.training_jsonl_dir, files=32,
+                order_cols=["url"])
+            print("Training JSONL exported to:", args.training_jsonl_dir)
     return 0
 
 

@@ -520,3 +520,30 @@ def export_training_shards(
         .parquet(out_dir)
     )
     return joined
+
+
+def export_training_jsonl(
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+    files: int | None = None,
+    order_cols: list[str] | None = None,
+) -> None:
+    """Materialize documents as JSONL — the lingua-franca handoff format
+    of LLM data pipelines (one JSON object per line: ``text`` plus
+    ``meta_cols``).  Executor-written ``text`` sink with ``to_json`` on a
+    struct (native, no Python); ``files`` bounds the output file count via
+    a range repartition on ``order_cols`` so each file holds a contiguous,
+    deterministic slice of the corpus order (omit for one file per input
+    partition).  Nothing is collected on the driver."""
+    meta_cols = meta_cols or [c for c in docs.columns if c != text_col]
+    order_cols = order_cols or meta_cols[:1]
+    line = F.to_json(F.struct(
+        F.col(text_col).alias("text"),
+        *[F.col(c) for c in meta_cols if c != text_col]))
+    out = docs
+    if files is not None:
+        out = out.repartitionByRange(files, *[F.col(c) for c in order_cols])
+        out = out.sortWithinPartitions(*order_cols)
+    out.select(line.alias("value")).write.mode("overwrite").text(out_dir)

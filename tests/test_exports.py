@@ -212,3 +212,40 @@ class TestTrainingShardSink:
             got |= {(r["doc_id"], r["n_tokens"], r["shard_id"],
                      r["shard_offset"]) for r in back}
         assert got == expect
+
+
+class TestTrainingJsonl:
+    def test_jsonl_roundtrip_and_file_bound(self, spark, tmp_path):
+        from crawler_to_md_spark.exports import export_training_jsonl
+
+        docs = spark.createDataFrame(
+            [(f"https://a/p{i}", f"text body {i}", i) for i in range(50)],
+            "url string, text string, n long").repartition(7)
+        out = str(tmp_path / "jsonl")
+        export_training_jsonl(docs, out, meta_cols=["url", "n"], files=4,
+                              order_cols=["url"])
+        import glob
+        parts = glob.glob(out + "/part-*")
+        assert len(parts) == 4
+        back = spark.read.json(out)
+        assert sorted(back.columns) == ["n", "text", "url"]
+        rows = {r["url"]: (r["text"], r["n"]) for r in back.collect()}
+        assert len(rows) == 50
+        assert rows["https://a/p7"] == ("text body 7", 7)
+
+    def test_lines_are_json_objects_in_order(self, spark, tmp_path):
+        import glob
+        import json as _json
+
+        from crawler_to_md_spark.exports import export_training_jsonl
+
+        docs = spark.createDataFrame(
+            [(f"https://a/p{i:02d}", f"t{i}") for i in range(20)],
+            "url string, text string")
+        out = str(tmp_path / "jsonl2")
+        export_training_jsonl(docs, out, files=1, order_cols=["url"])
+        [part] = glob.glob(out + "/part-*")
+        lines = [l for l in open(part).read().splitlines() if l]
+        objs = [_json.loads(l) for l in lines]
+        assert [o["url"] for o in objs] == sorted(o["url"] for o in objs)
+        assert objs[0]["text"] == "t0"
