@@ -174,6 +174,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Also export the crawled ok-pages (markdown text) "
                         "as a WET-style archive at this directory — the "
                         "bulk handoff format for downstream pipelines")
+    p.add_argument("--health-report", action="store_true", default=False,
+                   help="After the crawl, print the per-host "
+                        "coverage/health rollup plus soft-404 and "
+                        "crawl-trap candidates (top 20 rows each)")
     p.add_argument("--training-jsonl-dir", default=None,
                    help="Also export the (optionally cleaned) ok-page "
                         "markdown as JSONL — one {text, url} object per "
@@ -441,6 +445,24 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         .select(_.randomstring_to_filename_expr(F.col("t"))).first()[0]
     )
     docs, links = engine.docs(), engine.links()
+    if args.health_report:
+        from crawler_to_md_spark.functions.markdown import (
+            spans_to_markdown_expr,
+        )
+        from crawler_to_md_spark.operators import crawlhealth
+
+        print("== per-host crawl health ==")
+        engine.crawl_report().orderBy(F.desc("n_urls")).show(
+            20, truncate=False)
+        pages = docs.filter(F.col("status") == "ok").select(
+            "url", F.expr(spans_to_markdown_expr("spans")).alias("text")
+        ).join(links.select("url", "host"), "url")
+        print("== soft-404 candidates (dominant digests) ==")
+        crawlhealth.soft404_report(pages).orderBy(
+            F.desc("n_pages")).show(20, truncate=False)
+        print("== crawl-trap candidates (exploding URL templates) ==")
+        crawlhealth.trap_report(links.select("host", "url")).orderBy(
+            F.desc("n_urls")).show(20, truncate=False)
     md_path = os.path.join(output, f"{out_name}.md")
     json_path = os.path.join(output, f"{out_name}.json")
     # sharded (executor-written, O(chunk) driver memory) is the default —

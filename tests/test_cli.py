@@ -465,3 +465,18 @@ def test_clean_dup_window_cut_mode(spark, tmp_path):
     assert len(back) == 3                      # cut, not dropped
     # doc 2 lost the 12 shared tokens; doc 1 (first occurrence) did not
     assert back["https://h/1"] > back["https://h/2"]
+
+
+def test_health_report_prints_sections(spark, tmp_path, corpus_path, capsys):
+    rc, _, _ = _run(
+        spark, tmp_path, "--url", corpus.seed_url(),
+        "--base-url", "https://h0.example.com/",
+        "--corpus-parquet", corpus_path,
+        "--health-report", "--no-markdown", "--no-json", name="health",
+    )
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "per-host crawl health" in got
+    assert "soft-404 candidates" in got
+    assert "crawl-trap candidates" in got
+    assert "h0.example.com" in got          # the report has real rows
