@@ -486,3 +486,44 @@ def read_warc_exact(spark: SparkSession, path: str) -> DataFrame:
     """EXACT WARC-response scan (see :func:`read_wet_exact`): the
     recovery path for HTML bodies that embed the record boundary."""
     return _read_exact(spark, path, _parse_warc_fragment, _WARC_PARSED)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Streaming WARC source: raw HTTP capture shards landing in ``path``
+    stream through the same record-boundary split + Arrow parse as
+    :func:`read_warc`, then clean 200 text/html pages run the SAME fused
+    span extraction as the crawl engine (CSS ``include``/``exclude``
+    apply) and serialize to markdown — emitting ``(url, text)`` rows, the
+    ``StreamingCorpusIngest`` input contract.  Files are the replayable
+    offsets, so epochs are deterministic; corrupt/non-page records drop
+    on the stream (quarantine auditing = a batch :func:`read_warc` pass
+    over the same immutable files)."""
+    from crawler_to_md_spark.functions.extraction import make_extract_udf
+    from crawler_to_md_spark.functions.markdown import (
+        spans_to_markdown_expr,
+    )
+
+    reader = spark.readStream.option("lineSep", _SEP + MARKER + "\r\n")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    parsed = (
+        reader.text(path)
+        .filter(F.length(F.rtrim(F.col("value"))) > 0)
+        .select(_parse_warc_udf(F.col("value")).alias("r"))
+        .select("r.*")
+    )
+    pages = parsed.filter(
+        "corrupt IS NULL AND kind = 'response' AND status_code = 200 "
+        "AND (content_type IS NULL OR content_type LIKE 'text/html%')")
+    extract = make_extract_udf(include, exclude)
+    return pages.select(
+        "url", extract(F.col("html")).alias("doc")
+    ).select(
+        "url", F.expr(spans_to_markdown_expr("doc.spans")).alias("text"))

@@ -484,3 +484,53 @@ def test_stream_wet_archive_ingest(spark, tmp_path):
            for r in store.read("corpus_docs").collect()}
     assert set(got) == {"https://h/a", "https://h/b", "https://h/d"}
     assert got["https://h/a"] == "dup text body with six tokens"
+
+
+def test_stream_warc_archive_ingest(spark, tmp_path):
+    """Raw WARC capture shards stream through parse -> extraction ->
+    markdown -> corpus ingest: 404s and corrupt records drop on the
+    stream, cross-batch dedup sees the EXTRACTED text."""
+    import os as _os
+
+    from crawler_to_md_spark.sources import archive
+    from crawler_to_md_spark.streaming import ingest
+
+    def page(i, body):
+        return (f"<html><head><title>T{i}</title></head>"
+                f"<body><h1>Doc {i}</h1><p>{body}</p></body></html>")
+
+    in_dir = str(tmp_path / "warc_in")
+    _os.makedirs(in_dir)
+    waves = [
+        [(0, "https://h/a", 200, page(0, "dup body with five tokens")),
+         (1, "https://h/b", 200, page(1, "unique zero body four tokens"))],
+        [(2, "https://h/c", 200, page(0, "dup body with five tokens")),
+         (3, "https://h/d", 404, page(3, "never kept: status gate")),
+         (4, "https://h/e", 200, page(4, "unique one body alpha beta"))],
+    ]
+    for i, rows in enumerate(waves):
+        df = spark.createDataFrame(
+            rows, "id long, url string, status int, html string")
+        archive.write_warc(df.coalesce(1), str(tmp_path / f"wstage{i}"),
+                           status_col="status", id_col="id")
+        part = [f for f in _os.listdir(str(tmp_path / f"wstage{i}"))
+                if f.startswith("part-")][0]
+        dst = _os.path.join(in_dir, f"shard-{i}.warc")
+        _os.rename(str(tmp_path / f"wstage{i}" / part), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "warc_corpus_wh"),
+        schemas={"corpus_docs": ingest.CORPUS_DOCS_SCHEMA})
+    ing = ingest.StreamingCorpusIngest(store, min_tokens=3, store_buckets=8)
+    q = ing.start(
+        archive.read_warc_stream(spark, in_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "warc_ckpt"))
+    q.awaitTermination()
+
+    got = {r["url"]: r["text"] for r in store.read("corpus_docs").collect()}
+    # c extracts to markdown byte-identical to a (same page template) ->
+    # cross-batch exact dup dropped; d is a 404; e unique
+    assert set(got) == {"https://h/a", "https://h/b", "https://h/e"}
+    assert got["https://h/a"].startswith("# Doc 0")
+    assert "dup body with five tokens" in got["https://h/a"]
