@@ -1203,6 +1203,24 @@ def _q_trap_report(spark, sf_dir):
     return crawlhealth.trap_report(base.union(planted), min_urls=50)
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/crawlhealth.mirror_clusters):
+    every even document's page is REPLICATED onto a planted
+    'mirror-<host>' twin, so each origin host shares half its distinct
+    digests with its mirror (100% of the mirror's) — the pair stage must
+    flag exactly those pairs and the certified connected-components
+    collapse labels each cluster by its lexicographic-min host.  Oracle =
+    the same distinct/cap/share pipeline + recursive-CTE closure over
+    host strings."""
+    g = "doc_id"
+    base = _docs(spark, sf_dir).selectExpr(
+        f"{corpus.HOST_SQL.format(g=g)} AS host", "text", "doc_id")
+    mirrors = base.filter("doc_id % 2 = 0").selectExpr(
+        "'mirror-' || host AS host", "text", "doc_id")
+    pages = base.union(mirrors).select("host", "text")
+    return crawlhealth.mirror_clusters(pages)
+
+
 def _q_shuffle_split(spark, sf_dir):
     """Deterministic split assignment + global shuffle order
     (operators/sampling.split_assign / global_shuffle_pos): 80/10/10
@@ -1453,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_report": _q_crawl_report,
         "soft404_report": _q_soft404_report,
         "trap_report": _q_trap_report,
+        "mirror_hosts": _q_mirror_hosts,
         "shuffle_split": _q_shuffle_split,
         "snapshot_diff": _q_snapshot_diff,
         "semantic_decontam": _q_semantic_decontam,
@@ -1830,6 +1849,50 @@ def oracle_sql() -> dict[str, str]:
             )"""),
         "shuffle_split": sampling.duck_split_shuffle_sql(
             "documents", "doc_id", SPLITS),
+        "mirror_hosts": f"""
+            WITH RECURSIVE pages AS (
+                SELECT {corpus.HOST_SQL.format(g='doc_id')} AS host, text
+                FROM documents
+                UNION ALL
+                SELECT 'mirror-' || {corpus.HOST_SQL.format(g='doc_id')}
+                           AS host, text
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            hd AS (SELECT DISTINCT host, md5(text) AS digest FROM pages),
+            pd AS (SELECT digest, count(*) AS nh FROM hd GROUP BY 1),
+            common AS (
+                SELECT hd.host, hd.digest FROM hd
+                JOIN pd USING (digest) WHERE nh <= 20
+            ),
+            raw_pairs AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       count(*) AS n_shared
+                FROM common a JOIN common b USING (digest)
+                WHERE a.host < b.host
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT host, count(*) AS nd FROM hd GROUP BY 1),
+            pairs AS (
+                SELECT host_a, host_b, n_shared
+                FROM raw_pairs
+                JOIN sizes sa ON sa.host = raw_pairs.host_a
+                JOIN sizes sb ON sb.host = raw_pairs.host_b
+                WHERE n_shared >= 3
+                  AND n_shared * 2 >= 1 * least(sa.nd, sb.nd)
+            ),
+            edges AS (
+                SELECT host_a AS u, host_b AS v FROM pairs
+                UNION
+                SELECT host_b, host_a FROM pairs
+            ),
+            reach(node, comp) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+            )
+            SELECT node AS host, min(comp) AS mirror_group
+            FROM reach GROUP BY node
+        """,
         "curriculum": f"""
             WITH scored AS ({textstats.duck_unigram_logprob_sql()})
             SELECT doc_id,

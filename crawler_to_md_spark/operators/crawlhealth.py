@@ -207,3 +207,100 @@ def duck_trap_sql(
         GROUP BY 1, 2
         HAVING count(*) >= {min_urls}
     """
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection
+# ---------------------------------------------------------------------------
+
+#: a content digest shared by more hosts than this is boilerplate (error
+#: pages, licence texts) — it certifies nothing about mirroring and would
+#: make the pair join quadratic in its host count, so it is cut exactly
+#: like the LSH bucket cap (operators/dedup.py)
+MIRROR_MAX_HOSTS_PER_DIGEST = 20
+
+MIRROR_MIN_SHARED = 3
+MIRROR_SHARE = (1, 2)   # shared >= half the smaller host's distinct digests
+
+
+def host_mirror_pairs(
+    pages: DataFrame,
+    min_shared: int = MIRROR_MIN_SHARED,
+    share_num: int = MIRROR_SHARE[0],
+    share_den: int = MIRROR_SHARE[1],
+    max_hosts_per_digest: int = MIRROR_MAX_HOSTS_PER_DIGEST,
+) -> DataFrame:
+    """Host pairs that serve largely the same content — mirror candidates.
+
+    ``pages`` needs ``host`` and ``text``.  Distinct (host, digest) first;
+    digests fanning out to more than ``max_hosts_per_digest`` hosts are
+    cut (boilerplate — and the cap bounds the self-join exactly like the
+    LSH bucket cap, so no digest explodes quadratically).  A pair
+    qualifies when it shares ``min_shared`` digests AND the integer share
+    test ``n_shared·den ≥ num·min(|A|,|B|)`` passes — covering the
+    partial-mirror case where a small mirror carries a subset of a large
+    origin.  Returns ``(host_a, host_b, n_shared)`` with host_a < host_b.
+    """
+    hd = pages.select(
+        "host", F.md5(F.col("text")).alias("digest")).distinct()
+    per_digest = hd.groupBy("digest").agg(
+        F.count("*").alias("__n_hosts"))
+    common = hd.join(
+        per_digest.filter(F.col("__n_hosts") <= max_hosts_per_digest)
+        .select("digest"), "digest")
+    a, b = common.alias("a"), common.alias("b")
+    raw_pairs = (
+        a.join(b, "digest")
+        .filter(F.col("a.host") < F.col("b.host"))
+        .select(F.col("a.host").alias("host_a"),
+                F.col("b.host").alias("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sizes = hd.groupBy("host").agg(F.count("*").alias("__nd"))
+    return (
+        raw_pairs
+        .join(sizes.select(F.col("host").alias("host_a"),
+                           F.col("__nd").alias("__na")), "host_a")
+        .join(sizes.select(F.col("host").alias("host_b"),
+                           F.col("__nd").alias("__nb")), "host_b")
+        .filter((F.col("n_shared") >= F.lit(min_shared))
+                & (F.col("n_shared") * F.lit(share_den)
+                   >= F.lit(share_num) * F.least("__na", "__nb")))
+        .select("host_a", "host_b", "n_shared")
+    )
+
+
+def mirror_clusters(
+    pages: DataFrame,
+    min_shared: int = MIRROR_MIN_SHARED,
+    share_num: int = MIRROR_SHARE[0],
+    share_den: int = MIRROR_SHARE[1],
+    max_hosts_per_digest: int = MIRROR_MAX_HOSTS_PER_DIGEST,
+) -> DataFrame:
+    """Collapse mirror pairs into clusters: (host, mirror_group) where
+    ``mirror_group`` is the lexicographic min host of the connected
+    component — pair lists alone can't drive crawl-budget decisions
+    (A~B, B~C must yield ONE canonical origin, the near-dup collapse
+    argument at host grain).  Components come from the certified
+    alternating-star machinery (operators/dedup.connected_components)
+    over xxhash64 node ids; the group label is re-derived as a min over
+    host STRINGS so the output is engine-independent."""
+    from crawler_to_md_spark.operators.dedup import connected_components
+
+    pairs = host_mirror_pairs(
+        pages, min_shared, share_num, share_den, max_hosts_per_digest)
+    nodes = (
+        pairs.select(F.col("host_a").alias("host"))
+        .union(pairs.select(F.col("host_b")))
+        .distinct()
+        .withColumn("__nid", F.xxhash64("host"))
+    )
+    pair_ids = pairs.select(
+        F.xxhash64("host_a").alias("a"), F.xxhash64("host_b").alias("b"))
+    cc = connected_components(pair_ids, "a", "b")
+    mapped = cc.join(nodes, cc["node"] == nodes["__nid"]).select(
+        "host", "component")
+    groups = mapped.groupBy("component").agg(
+        F.min("host").alias("mirror_group"))
+    return mapped.join(groups, "component").select("host", "mirror_group")

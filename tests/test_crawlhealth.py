@@ -264,3 +264,47 @@ class TestCurriculumBuckets:
         out = {r["doc_id"]: r["bucket"] for r in sampling.curriculum_buckets(
             df, "score", ["doc_id"], n_buckets=4).collect()}
         assert all(out[i] == i // 10 for i in range(40))
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection
+# ---------------------------------------------------------------------------
+
+class TestMirrorHosts:
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, text string")
+
+    def test_full_mirror_pair(self, spark):
+        rows = [("a.com", f"doc {i}") for i in range(5)]
+        rows += [("b.com", f"doc {i}") for i in range(5)]       # full mirror
+        rows += [("c.com", f"other {i}") for i in range(5)]     # unrelated
+        out = crawlhealth.host_mirror_pairs(self._pages(spark, rows)).collect()
+        assert [(r["host_a"], r["host_b"], r["n_shared"]) for r in out] \
+            == [("a.com", "b.com", 5)]
+
+    def test_partial_mirror_uses_min_host_size(self, spark):
+        # small mirror carries 3 of big origin's 10 pages: 3 >= 1/2 * 3
+        rows = [("big.com", f"doc {i}") for i in range(10)]
+        rows += [("small.com", f"doc {i}") for i in range(3)]
+        out = crawlhealth.host_mirror_pairs(self._pages(spark, rows)).collect()
+        assert len(out) == 1 and out[0]["n_shared"] == 3
+
+    def test_boilerplate_digest_cut_by_cap(self, spark):
+        # one licence page shared by 30 hosts must create NO pairs
+        rows = [(f"h{i}.com", "identical licence text") for i in range(30)]
+        rows += [(f"h{i}.com", f"own page {i}") for i in range(30)]
+        out = crawlhealth.host_mirror_pairs(
+            self._pages(spark, rows), min_shared=1, share_num=1,
+            share_den=2, max_hosts_per_digest=20).collect()
+        assert out == []
+
+    def test_transitive_collapse_one_cluster(self, spark):
+        # a~b and b~c but a shares nothing with c: one cluster, min label
+        rows = [("a.com", f"ab {i}") for i in range(4)]
+        rows += [("b.com", f"ab {i}") for i in range(4)]
+        rows += [("b.com", f"bc {i}") for i in range(4)]
+        rows += [("c.com", f"bc {i}") for i in range(4)]
+        out = {r["host"]: r["mirror_group"]
+               for r in crawlhealth.mirror_clusters(
+                   self._pages(spark, rows)).collect()}
+        assert out == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com"}
