@@ -263,6 +263,7 @@ class CrawlEngine:
         # optional per-host adaptive wave budgets (crawl_delay_budgets /
         # adaptive_host_budgets); None = uniform config.host_budget
         self.host_budgets: DataFrame | None = None
+        self.host_exclusions: DataFrame | None = None
         self._host_budgets_hint: int | None = None
         # injectable for sleep-math tests (reference scraper.py:428-475)
         self.pacer = pacer or Pacer(self.config.rate_limit, self.config.delay)
@@ -327,6 +328,17 @@ class CrawlEngine:
         self.host_priority = priorities.select(
             "host", F.col("priority").cast("long").alias("priority"))
         self._host_priority_hint = n_hosts
+
+    def set_host_exclusions(self, hosts: DataFrame) -> None:
+        """Install a host-exclusion table: ``hosts`` is ``(host)`` — every
+        pending URL on a listed host is dropped from dequeue (stays an
+        unvisited row; clearing the table re-admits it).  The intended
+        feeders are the crawl-health reports: non-canonical mirror hosts
+        (``crawlhealth.mirror_clusters`` rows where host != mirror_group —
+        don't spend budget on a clone) and operator blocklists.  One
+        left-anti join per wave; AQE broadcasts the table until it
+        outgrows the threshold."""
+        self.host_exclusions = hosts.select("host")
 
     def set_host_budgets(self, budgets: DataFrame,
                          n_hosts: int | None = None) -> None:
@@ -476,6 +488,11 @@ class CrawlEngine:
             # threshold are excluded from this wave's dequeue (they stay
             # unvisited rows — raising the threshold later re-admits them)
             pending = drop_trap_urls(pending, cfg.trap_min_urls)
+        if self.host_exclusions is not None:
+            # host blocklist (mirror clones, operator blocks): same
+            # stay-unvisited semantics as the trap guard
+            pending = pending.join(
+                self.host_exclusions, "host", "left_anti")
         pending = host_priority_join(pending, self.host_priority,
                                      self._host_priority_hint)
 
@@ -906,6 +923,8 @@ class CrawlEngine:
             # the trap guard excludes whole URL families from dequeue the
             # same way — count through it for the same reason
             gated = drop_trap_urls(gated, self.config.trap_min_urls)
+        if self.host_exclusions is not None:
+            gated = gated.join(self.host_exclusions, "host", "left_anti")
         pending = gated.count()
         from crawler_to_md_spark.progress import get_logger, wave_progress
 

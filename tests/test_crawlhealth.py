@@ -308,3 +308,32 @@ class TestMirrorHosts:
                for r in crawlhealth.mirror_clusters(
                    self._pages(spark, rows)).collect()}
         assert out == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com"}
+
+
+class TestHostExclusions:
+    def test_excluded_host_never_dequeues(self, spark, tmp_path):
+        """set_host_exclusions (the mirror_clusters consumer): pending
+        URLs on a listed host stay unvisited while other hosts crawl."""
+        from crawler_to_md_spark.operators.crawl import (
+            CrawlConfig, CrawlEngine,
+        )
+        from crawler_to_md_spark.sources import corpus
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wh"),
+            corpus=corpus.synth_corpus(spark, "/root/testdata/sf0.001",
+                                       replicas=1),
+            config=CrawlConfig(scope_domain="example.com", max_retries=0,
+                               discover_links=False),
+        )
+        blocked = [f"https://h1.example.com/docs/p{i}" for i in range(5)]
+        kept = [corpus.python_url(g) for g in (0, 3, 5)]
+        assert eng.seed(blocked + kept) == 8
+        eng.set_host_exclusions(
+            spark.createDataFrame([("h1.example.com",)], "host string"))
+        eng.run_to_completion()
+        rows = eng.links().collect()
+        assert all(not r["visited"] for r in rows
+                   if r["host"] == "h1.example.com")
+        assert all(r["visited"] for r in rows
+                   if r["host"] != "h1.example.com")
