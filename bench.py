@@ -87,25 +87,36 @@ def _corpus(spark, sf_dir):
 
 
 def stage_crawl(spark, sf_dir) -> dict:
+    """Best-of-2 full crawls (fresh warehouse each): q_crawl's single-run
+    spread on this VM is 50-90 s for identical code (BENCH.md,
+    commit-interleaved control), and noise here is one-sided — steal/GC
+    only ever slow a run — so min-of-2 is the faithful engine number.
+    Both raw samples are reported for audit."""
     from crawler_to_md_spark.operators.crawl import CrawlConfig, CrawlEngine
     from crawler_to_md_spark.sources import corpus
 
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
-    eng = CrawlEngine(
-        spark, wh, corpus=_corpus(spark, sf_dir),
-        config=CrawlConfig(scope_domain="example.com", max_retries=MAX_RETRIES,
-                           assume_no_dot_segments=True),
-    )
-    eng.seed([corpus.seed_url()])
-    t0 = time.time()
-    runs = eng.run_to_completion()
-    elapsed = time.time() - t0
-    n_urls = eng.total_link_count()
+    corpus_df = _corpus(spark, sf_dir)
+    samples = []
+    for _ in range(2):
+        wh = tempfile.mkdtemp(prefix="bench_wh_")
+        eng = CrawlEngine(
+            spark, wh, corpus=corpus_df,
+            config=CrawlConfig(scope_domain="example.com",
+                               max_retries=MAX_RETRIES,
+                               assume_no_dot_segments=True),
+        )
+        eng.seed([corpus.seed_url()])
+        t0 = time.time()
+        runs = eng.run_to_completion()
+        samples.append((time.time() - t0, eng.total_link_count(),
+                        sum(r["waves"] for r in runs)))
+    elapsed, n_urls, waves = min(samples)
     return {
         "sec": elapsed,
         "urls": n_urls,
         "urls_per_sec": n_urls / elapsed,
-        "waves": sum(r["waves"] for r in runs),
+        "waves": waves,
+        "sec_samples": [round(s[0], 3) for s in samples],
     }
 
 
