@@ -50,7 +50,8 @@ Transport = Callable[[str, float, str | None, bool], TransportResult]
 
 FETCH_RESULT_DDL = (
     "url string, status_code int, content_type string, body binary, "
-    "attempts int, fetched_html boolean, error string"
+    "attempts int, fetched_html boolean, error string, "
+    "etag string, last_modified string, not_modified boolean"
 )
 
 RETRY_FORCELIST = (429, 500, 502, 503, 504)   # scraper.py:101
@@ -86,14 +87,17 @@ def requests_transport() -> Transport:
 
     session = requests.Session()
 
-    def transport(url, timeout, proxy, want_body):  # pragma: no cover
+    def transport(url, timeout, proxy, want_body,
+                  headers=None):  # pragma: no cover
         proxies = {"http": proxy, "https": proxy} if proxy else None
-        r = session.get(url, timeout=timeout, proxies=proxies, stream=True)
+        r = session.get(url, timeout=timeout, proxies=proxies, stream=True,
+                        headers=headers or None)
         ct = r.headers.get("Content-Type")
+        vals = (r.headers.get("ETag"), r.headers.get("Last-Modified"))
         if not want_body or not _is_html(ct):
             r.close()
-            return r.status_code, ct, None, None
-        return r.status_code, ct, r.content, None
+            return r.status_code, ct, None, None, vals
+        return r.status_code, ct, r.content, None, vals
 
     return transport
 
@@ -103,27 +107,59 @@ def _is_html(content_type: str | None) -> bool:
     return ct in HTML_TYPES
 
 
+def _call_transport(transport, url, policy, headers):
+    """Invoke a transport, tolerating both generations of the contract:
+    legacy 4-arg/4-tuple (no conditional requests) and the extended
+    5-arg/5-tuple (request headers in, response validators out)."""
+    try:
+        result = transport(url, policy.timeout, policy.proxy, True, headers)
+    except TypeError:
+        result = transport(url, policy.timeout, policy.proxy, True)
+    if len(result) == 4:
+        status, ct, body, err = result
+        return status, ct, body, err, (None, None)
+    return result
+
+
 def fetch_one(
-    url: str, policy: FetchPolicy, transport: Transport
-) -> tuple[int, str | None, bytes | None, int, bool, str | None]:
+    url: str, policy: FetchPolicy, transport: Transport,
+    validators: tuple[str | None, str | None] | None = None,
+) -> tuple[int, str | None, bytes | None, int, bool, str | None,
+           tuple[str | None, str | None], bool]:
     """One URL through the retry state machine.  Returns
-    (status, content_type, body, attempts, fetched_html, error)."""
+    (status, content_type, body, attempts, fetched_html, error,
+    (etag, last_modified), not_modified).
+
+    ``validators`` are the previous fetch's cache validators: when set,
+    the request carries ``If-None-Match`` / ``If-Modified-Since`` and a
+    304 answer comes back as ``not_modified=True`` with no body — the
+    TTL-recrawl path (reopen_due) re-verifies a page for the cost of
+    headers instead of the full transfer."""
+    headers = {}
+    if validators:
+        etag, last_mod = validators
+        if etag:
+            headers["If-None-Match"] = etag
+        if last_mod:
+            headers["If-Modified-Since"] = last_mod
     attempts = 0
-    status, ct, body, err = 0, None, None, None
+    status, ct, body, err, resp_vals = 0, None, None, None, (None, None)
     while attempts < max(1, policy.max_retries):
         attempts += 1
         try:
-            status, ct, body, err = transport(
-                url, policy.timeout, policy.proxy, True
+            status, ct, body, err, resp_vals = _call_transport(
+                transport, url, policy, headers or None
             )
         except Exception as e:  # connection-level failure (RequestException)
-            status, ct, body, err = 0, None, None, f"{type(e).__name__}: {e}"
+            status, ct, body, err, resp_vals = (
+                0, None, None, f"{type(e).__name__}: {e}", (None, None))
         if status not in policy.forcelist and err is None:
             break
         if attempts < policy.max_retries:
             # urllib3 formula: backoff_factor * 2**(retry_number)
             policy.sleep(policy.backoff * (2 ** (attempts - 1)))
-    return status, ct, body, attempts, _is_html(ct) and status == 200, err
+    return (status, ct, body, attempts,
+            _is_html(ct) and status == 200, err, resp_vals, status == 304)
 
 
 def proxy_self_test(
@@ -146,6 +182,8 @@ def http_fetch_stage(
     policy: FetchPolicy | None = None,
     transport_factory: Callable[[], Transport] = requests_transport,
     url_col: str = "url",
+    etag_col: str | None = None,
+    last_modified_col: str | None = None,
 ) -> DataFrame:
     """The fetch stage: ``mapInPandas`` so each task holds ONE pooled
     transport session across all of its Arrow batches.
@@ -157,6 +195,11 @@ def http_fetch_stage(
     crawl's failure taxonomy takes it from there).
     """
     pol = policy or FetchPolicy()
+    cols = [url_col]
+    if etag_col:
+        cols.append(etag_col)
+    if last_modified_col:
+        cols.append(last_modified_col)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()   # one session per partition/task
@@ -164,13 +207,21 @@ def http_fetch_stage(
         for pdf in batches:
             out = {k: [] for k in ("url", "status_code", "content_type",
                                    "body", "attempts", "fetched_html",
-                                   "error")}
-            for url in pdf[url_col]:
+                                   "error", "etag", "last_modified",
+                                   "not_modified")}
+            etags = pdf[etag_col] if etag_col else [None] * len(pdf)
+            lms = (pdf[last_modified_col] if last_modified_col
+                   else [None] * len(pdf))
+            for url, etag, lm in zip(pdf[url_col], etags, lms):
                 if not first and pol.delay > 0:
                     pol.sleep(pol.delay)   # O4 pacing, scraper.py:469-475
                 first = False
-                status, ct, body, attempts, is_html, err = fetch_one(
-                    str(url), pol, transport
+                vals = ((etag if isinstance(etag, str) else None),
+                        (lm if isinstance(lm, str) else None))
+                (status, ct, body, attempts, is_html, err,
+                 resp_vals, not_mod) = fetch_one(
+                    str(url), pol, transport,
+                    validators=vals if any(vals) else None,
                 )
                 out["url"].append(url)
                 out["status_code"].append(status)
@@ -179,6 +230,9 @@ def http_fetch_stage(
                 out["attempts"].append(attempts)
                 out["fetched_html"].append(is_html)
                 out["error"].append(err)
+                out["etag"].append(resp_vals[0])
+                out["last_modified"].append(resp_vals[1])
+                out["not_modified"].append(not_mod)
             yield pd.DataFrame(out)
 
-    return frontier.select(url_col).mapInPandas(run, schema=FETCH_RESULT_DDL)
+    return frontier.select(*cols).mapInPandas(run, schema=FETCH_RESULT_DDL)

@@ -10,6 +10,11 @@ import pytest
 from crawler_to_md_spark.sources import fetch
 
 
+def _fetch6(*args, **kw):
+    """Legacy 6-tuple view of fetch_one for the pre-conditional tests."""
+    return fetch.fetch_one(*args, **kw)[:6]
+
+
 class FakeTransport:
     """url -> scripted (status, content_type, body) with optional leading
     failures; records every call."""
@@ -49,7 +54,7 @@ def _policy(sleeps=None, **kw):
 
 def test_fetch_one_success_single_attempt():
     t = FakeTransport(TABLE)
-    status, ct, body, attempts, is_html, err = fetch.fetch_one(
+    status, ct, body, attempts, is_html, err = _fetch6(
         "https://a/ok", _policy(), t)
     assert (status, attempts, is_html, err) == (200, 1, True, None)
     assert body == b"<html>A</html>"
@@ -58,7 +63,7 @@ def test_fetch_one_success_single_attempt():
 def test_fetch_one_retries_forcelist_with_urllib3_backoff():
     sleeps = []
     t = FakeTransport(TABLE, fail_times={"https://b/flaky": 2})
-    status, ct, body, attempts, is_html, err = fetch.fetch_one(
+    status, ct, body, attempts, is_html, err = _fetch6(
         "https://b/flaky", _policy(sleeps, backoff=1.0, max_retries=3), t)
     assert (status, attempts, is_html) == (200, 3, True)
     # urllib3 formula: backoff * 2**(attempt-1) -> 1s, 2s
@@ -68,7 +73,7 @@ def test_fetch_one_retries_forcelist_with_urllib3_backoff():
 def test_fetch_one_exhausts_retries():
     sleeps = []
     t = FakeTransport(TABLE, fail_times={"https://b/flaky": 99})
-    status, ct, body, attempts, is_html, err = fetch.fetch_one(
+    status, ct, body, attempts, is_html, err = _fetch6(
         "https://b/flaky", _policy(sleeps, max_retries=3), t)
     assert (status, attempts, is_html) == (503, 3, False)
     assert len(sleeps) == 2                  # no sleep after final attempt
@@ -76,7 +81,7 @@ def test_fetch_one_exhausts_retries():
 
 def test_fetch_one_connection_error_becomes_row_not_raise():
     t = FakeTransport(TABLE)
-    status, ct, body, attempts, is_html, err = fetch.fetch_one(
+    status, ct, body, attempts, is_html, err = _fetch6(
         "https://nowhere/x", _policy(max_retries=2), t)
     assert status == 0 and body is None and not is_html
     assert attempts == 2 and "ConnectionError" in err
@@ -84,7 +89,7 @@ def test_fetch_one_connection_error_becomes_row_not_raise():
 
 def test_non_html_skips_body():
     t = FakeTransport(TABLE)
-    status, ct, body, attempts, is_html, err = fetch.fetch_one(
+    status, ct, body, attempts, is_html, err = _fetch6(
         "https://a/pdf", _policy(), t)
     assert (status, is_html, body) == (200, False, None)
 
@@ -119,7 +124,8 @@ def test_http_fetch_stage_plumbing(spark):
     )
     rows = {r["url"]: r for r in out.collect()}
     assert set(out.columns) == {"url", "status_code", "content_type", "body",
-                                "attempts", "fetched_html", "error"}
+                                "attempts", "fetched_html", "error",
+                                "etag", "last_modified", "not_modified"}
     assert len(rows) == 4
     assert rows["https://a/ok"]["fetched_html"] is True
     assert bytes(rows["https://a/ok"]["body"]) == b"<html>A</html>"
@@ -173,3 +179,71 @@ def test_requests_transport_constructs():
     pytest.importorskip("requests")
     t = fetch.requests_transport()
     assert callable(t)
+
+
+# ---------------------------------------------------------------------------
+# conditional requests (ETag / If-Modified-Since)
+# ---------------------------------------------------------------------------
+
+def test_fetch_one_sends_validators_and_handles_304():
+    seen = {}
+
+    def transport(url, timeout, proxy, want_body, headers=None):
+        seen["headers"] = headers
+        if headers and headers.get("If-None-Match") == '"v1"':
+            return 304, None, None, None, (None, None)
+        return 200, "text/html", b"<html>new</html>", None, \
+            ('"v2"', "Wed, 01 Jan 2026 00:00:00 GMT")
+
+    pol = fetch.FetchPolicy(max_retries=2, sleep=lambda s: None)
+    # matching validator -> 304, no body, not_modified
+    (status, ct, body, attempts, is_html, err,
+     vals, not_mod) = fetch.fetch_one(
+        "https://a/x", pol, transport, validators=('"v1"', None))
+    assert seen["headers"] == {"If-None-Match": '"v1"'}
+    assert status == 304 and body is None and not_mod
+    # stale validator -> full fetch, fresh validators captured
+    (status, ct, body, attempts, is_html, err,
+     vals, not_mod) = fetch.fetch_one(
+        "https://a/x", pol, transport, validators=('"v0"', "old-date"))
+    assert seen["headers"] == {"If-None-Match": '"v0"',
+                               "If-Modified-Since": "old-date"}
+    assert status == 200 and is_html and not not_mod
+    assert vals == ('"v2"', "Wed, 01 Jan 2026 00:00:00 GMT")
+
+
+def test_fetch_one_legacy_transport_still_works():
+    def legacy(url, timeout, proxy, want_body):
+        return 200, "text/html", b"<html>x</html>", None
+
+    pol = fetch.FetchPolicy(max_retries=1, sleep=lambda s: None)
+    out = fetch.fetch_one("https://a/x", pol, legacy)
+    assert out[0] == 200 and out[6] == (None, None) and out[7] is False
+
+
+def test_http_fetch_stage_conditional_columns(spark):
+    frontier = spark.createDataFrame(
+        [("https://a/fresh", '"f"', None),
+         ("https://a/stale", '"s-old"', "old-date"),
+         ("https://a/new", None, None)],
+        "url string, etag string, lm string")
+
+    def factory():
+        def transport(url, timeout, proxy, want_body, headers=None):
+            if headers and headers.get("If-None-Match") == '"f"':
+                return 304, None, None, None, (None, None)
+            return 200, "text/html", b"<html>b</html>", None, \
+                ('"new"', "Thu, 02 Jan 2026 00:00:00 GMT")
+
+        return transport
+
+    out = {r["url"]: r for r in fetch.http_fetch_stage(
+        frontier, policy=fetch.FetchPolicy(sleep=lambda s: None),
+        transport_factory=factory, etag_col="etag",
+        last_modified_col="lm").collect()}
+    assert out["https://a/fresh"]["not_modified"] is True
+    assert out["https://a/fresh"]["body"] is None
+    assert out["https://a/stale"]["not_modified"] is False
+    assert out["https://a/stale"]["etag"] == '"new"'
+    assert out["https://a/new"]["etag"] == '"new"'
+    assert out["https://a/new"]["last_modified"].startswith("Thu")
