@@ -527,9 +527,20 @@ class CrawlEngine:
         content_size = F.size(
             F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("link"))
         )
+        # conditional-refetch outcome (sources/fetch.py O16): an HTTP
+        # stage revalidating with stored ETag/Last-Modified validators
+        # reports 304 as not_modified — success, committed doc row KEPT
+        # (it never enters docs_batch, so the upsert leaves it untouched),
+        # URL marked visited with retry reset.  The corpus-sim stage has
+        # no such column.
+        not_mod = (
+            F.coalesce(F.col("not_modified"), F.lit(False))
+            if "not_modified" in fetched.columns else F.lit(False)
+        )
         outcome = (
             F.when(eff_status.isNull(), F.lit("conn_error"))
             .when(eff_status.isin(*RETRIABLE_STATUSES), F.lit("http_retriable"))
+            .when(not_mod & (eff_status == 304), F.lit("not_modified"))
             .when(eff_status != 200, F.lit("http_skip"))      # 404/403: no retry
             .when(~is_html, F.lit("nonhtml_skip"))
             .when(content_size <= 0, F.lit("empty"))          # NoContentError
@@ -541,7 +552,8 @@ class CrawlEngine:
                 "eff_status": eff_status,
                 "outcome": outcome,
                 "parsed": (eff_status == 200) & is_html,      # ok + empty
-                "new_retry": F.when(outcome == "ok", F.lit(0))
+                "new_retry": F.when(
+                    outcome.isin("ok", "not_modified"), F.lit(0))
                 .when(retriable, F.col("retry_count") + 1)
                 .otherwise(F.col("retry_count")),
             }
@@ -552,7 +564,8 @@ class CrawlEngine:
         # separate aggregate job over the batch
         wave_aggs = [
             F.count(F.lit(1)).alias("dequeued"),
-            F.sum((F.col("outcome") == "ok").cast("long")).alias("fetched_ok"),
+            F.sum(F.col("outcome").isin("ok", "not_modified").cast("long"))
+            .alias("fetched_ok"),
             F.sum(
                 F.col("outcome").isin("conn_error", "http_retriable", "empty")
                 .cast("long")

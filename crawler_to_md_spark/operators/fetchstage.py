@@ -114,6 +114,10 @@ def http_extract_stage(
             F.col("__e.title").alias("title"),
             F.col("__e.spans").alias("spans"),
             F.col("__e.out_links").alias("out_links"),
+            # conditional-refetch outcome (sources/fetch.py O16): a 304
+            # revalidation surfaces here; _wave keeps the committed doc
+            F.coalesce(F.col("not_modified"), F.lit(False))
+            .alias("not_modified"),
         )
 
     return stage

@@ -197,3 +197,53 @@ def test_corpus_stage_out_links_match_link_spans(spark):
     batch = df.select("url")
     out = corpus_fetch_stage(df)(batch).select("out_links").first()[0]
     assert out == ["/l1", "/l2"]
+
+
+# ---------------------------------------------------------------------------
+# conditional refetch: 304 keeps the committed doc (O16)
+# ---------------------------------------------------------------------------
+
+class RevalidatingTransport:
+    """First pass serves the site; after `flip()`, /b answers 304."""
+
+    revalidate = False
+
+    def __call__(self, url, timeout, proxy, want_body, headers=None):
+        if RevalidatingTransport.revalidate and url == f"{BASE}/b":
+            return 304, None, None, None, (None, None)
+        if url not in SITE:
+            raise ConnectionError("no route to host")
+        status, ct, body = SITE[url]
+        if "text/html" not in ct:
+            return status, ct, None, None, (None, None)
+        return status, ct, body.encode(), None, ('"etag-b"', None)
+
+
+def test_304_revalidation_keeps_committed_doc(spark, tmp_path):
+    stage = http_extract_stage(
+        policy=FetchPolicy(max_retries=2, sleep=lambda s: None),
+        transport_factory=RevalidatingTransport,
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"),
+        config=CrawlConfig(scope_base_url=f"{BASE}/", max_retries=2),
+        fetch_stage=stage,
+    )
+    RevalidatingTransport.revalidate = False
+    eng.seed([f"{BASE}/"])
+    eng.run_to_completion()
+    doc_b = [r for r in eng.docs().collect() if r["url"] == f"{BASE}/b"]
+    assert doc_b and doc_b[0]["status"] == "ok"
+    first_batch = doc_b[0]["batch_id"]
+
+    # TTL revisit: reopen /b, the server now answers 304
+    RevalidatingTransport.revalidate = True
+    eng.reopen([f"{BASE}/b"])
+    eng.run(resume=True)
+    rows = {r["url"]: r for r in eng.links().collect()}
+    assert rows[f"{BASE}/b"]["visited"]          # revalidated, not retried
+    assert rows[f"{BASE}/b"]["retry_count"] == 0
+    doc_b2 = [r for r in eng.docs().collect() if r["url"] == f"{BASE}/b"]
+    assert doc_b2 and doc_b2[0]["status"] == "ok"
+    assert doc_b2[0]["batch_id"] == first_batch  # committed doc KEPT
+    assert doc_b2[0]["spans"] is not None
