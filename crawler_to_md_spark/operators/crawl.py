@@ -189,6 +189,14 @@ class CrawlConfig:
     # partial-agg + anti-join over the pending set per wave; leave None
     # unless the frontier is domain-unbounded.
     trap_min_urls: int | None = None
+    # conditional refetch (O16): when True and the fetch stage is the live
+    # HTTP stage, each wave joins the committed docs' stored cache
+    # validators onto the batch (one left join against the docs table) and
+    # the stage sends If-None-Match / If-Modified-Since; 304 answers keep
+    # the committed doc (see the not_modified outcome).  Fresh validators
+    # are stored in the ok-doc metadata for the next cycle.  Off by
+    # default — it only pays on recrawl-heavy (TTL revisit) workloads.
+    revalidate: bool = False
 
 
 class CrawlEngine:
@@ -328,6 +336,22 @@ class CrawlEngine:
         self.host_priority = priorities.select(
             "host", F.col("priority").cast("long").alias("priority"))
         self._host_priority_hint = n_hosts
+
+    def _ok_metadata(self, fetched: DataFrame):
+        """The ok-doc metadata map: title, plus the response cache
+        validators when revalidation is on and the stage supplies them
+        (stored for the next TTL-recrawl cycle's conditional request)."""
+        base = F.create_map(F.lit("title"), F.col("title"))
+        if self.config.revalidate and "etag" in fetched.columns:
+            vals = F.map_filter(
+                F.create_map(
+                    F.lit("etag"), F.col("etag"),
+                    F.lit("last_modified"), F.col("last_modified"),
+                ),
+                lambda k, v: v.isNotNull(),
+            )
+            return F.map_concat(base, vals)
+        return base
 
     def set_host_exclusions(self, hosts: DataFrame) -> None:
         """Install a host-exclusion table: ``hosts`` is ``(host)`` — every
@@ -511,6 +535,17 @@ class CrawlEngine:
                 if c is not None]
         batch = global_cap(batch, min(caps) if caps else None).drop("priority")
 
+        if cfg.revalidate:
+            # conditional refetch: attach the committed docs' stored cache
+            # validators so the HTTP stage can revalidate (one left join
+            # against the docs table; the stage reads __etag/__lm when
+            # built with revalidate, see http_stage_from_config)
+            vals = self.store.read("docs").select(
+                "url",
+                F.col("metadata")["etag"].alias("__etag"),
+                F.col("metadata")["last_modified"].alias("__lm"),
+            )
+            batch = batch.join(vals, "url", "left")
         fetched = self.fetch_stage(batch)
 
         eff_status = (
@@ -618,7 +653,7 @@ class CrawlEngine:
             F.when(F.col("outcome") == "ok", F.col("spans")).alias("spans"),
             F.when(
                 F.col("outcome") == "ok",
-                F.create_map(F.lit("title"), F.col("title")),
+                self._ok_metadata(fetched),
             )
             .otherwise(
                 F.create_map(

@@ -86,6 +86,8 @@ def http_extract_stage(
     css_include: list[str] | None = None,
     css_exclude: list[str] | None = None,
     charset: str = "UTF-8",
+    etag_col: str | None = None,
+    last_modified_col: str | None = None,
 ) -> FetchStage:
     """Live fetch + one-parse extraction as one stage.
 
@@ -100,12 +102,18 @@ def http_extract_stage(
     extract = make_extract_udf(css_include, css_exclude)
 
     def stage(batch: DataFrame) -> DataFrame:
-        results = http_fetch_stage(batch, policy, transport_factory)
-        joined = batch.join(results, "url", "left")
+        results = http_fetch_stage(
+            batch, policy, transport_factory,
+            etag_col=etag_col, last_modified_col=last_modified_col)
+        joined = batch.drop(
+            *[c for c in (etag_col, last_modified_col) if c]
+        ).join(results, "url", "left")
         html = F.when(F.col("fetched_html"), F.decode(F.col("body"), charset))
         parsed = joined.withColumn("__e", extract(html))
+        base_cols = [c for c in batch.columns
+                     if c not in (etag_col, last_modified_col)]
         return parsed.select(
-            *batch.columns,
+            *base_cols,
             F.when(F.col("status_code") == 0, F.lit(None).cast("int"))
             .otherwise(F.col("status_code"))
             .alias("status_code"),
@@ -115,9 +123,12 @@ def http_extract_stage(
             F.col("__e.spans").alias("spans"),
             F.col("__e.out_links").alias("out_links"),
             # conditional-refetch outcome (sources/fetch.py O16): a 304
-            # revalidation surfaces here; _wave keeps the committed doc
+            # revalidation surfaces here; _wave keeps the committed doc,
+            # and fresh response validators flow into the ok-doc metadata
             F.coalesce(F.col("not_modified"), F.lit(False))
             .alias("not_modified"),
+            "etag",
+            "last_modified",
         )
 
     return stage
@@ -144,4 +155,9 @@ def http_stage_from_config(
         policy, transport_factory,
         css_include=config.css_include or None,
         css_exclude=config.css_exclude or None,
+        # CrawlConfig.revalidate: the engine joins the committed docs'
+        # stored validators as __etag/__lm before the stage runs
+        etag_col="__etag" if getattr(config, "revalidate", False) else None,
+        last_modified_col=(
+            "__lm" if getattr(config, "revalidate", False) else None),
     )

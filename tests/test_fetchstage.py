@@ -247,3 +247,44 @@ def test_304_revalidation_keeps_committed_doc(spark, tmp_path):
     assert doc_b2 and doc_b2[0]["status"] == "ok"
     assert doc_b2[0]["batch_id"] == first_batch  # committed doc KEPT
     assert doc_b2[0]["spans"] is not None
+
+
+class ValidatorTransport:
+    """Serves the site with ETags; answers 304 ONLY to a correct
+    If-None-Match — proving the engine actually stored and resent it."""
+
+    def __call__(self, url, timeout, proxy, want_body, headers=None):
+        if headers and headers.get("If-None-Match") == f'"v-{url[-1]}"':
+            return 304, None, None, None, (None, None)
+        if url not in SITE:
+            raise ConnectionError("no route to host")
+        status, ct, body = SITE[url]
+        if "text/html" not in ct:
+            return status, ct, None, None, (None, None)
+        return status, ct, body.encode(), None, \
+            (f'"v-{url[-1]}"', "Mon, 05 Jan 2026 00:00:00 GMT")
+
+
+def test_revalidate_full_loop_stores_and_resends_validators(spark, tmp_path):
+    """CrawlConfig(revalidate=True): crawl stores each ok page's ETag in
+    doc metadata; a TTL reopen refetches WITH If-None-Match, the 304 keeps
+    the committed doc."""
+    cfg = CrawlConfig(scope_base_url=f"{BASE}/", max_retries=2,
+                      revalidate=True)
+    stage = http_stage_from_config(cfg, transport_factory=ValidatorTransport)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), config=cfg,
+                      fetch_stage=stage)
+    eng.seed([f"{BASE}/"])
+    eng.run_to_completion()
+    doc_b = [r for r in eng.docs().collect() if r["url"] == f"{BASE}/b"][0]
+    assert doc_b["metadata"]["etag"] == '"v-b"'          # validator stored
+    assert doc_b["metadata"]["last_modified"].startswith("Mon")
+    first_batch = doc_b["batch_id"]
+
+    eng.reopen([f"{BASE}/b"])
+    eng.run(resume=True)
+    doc_b2 = [r for r in eng.docs().collect() if r["url"] == f"{BASE}/b"][0]
+    assert doc_b2["batch_id"] == first_batch             # 304 -> doc kept
+    links = {r["url"]: r for r in eng.links().collect()}
+    assert links[f"{BASE}/b"]["visited"]
+    assert links[f"{BASE}/b"]["retry_count"] == 0
