@@ -174,6 +174,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Also export the crawled ok-pages (markdown text) "
                         "as a WET-style archive at this directory — the "
                         "bulk handoff format for downstream pipelines")
+    p.add_argument("--revalidate", action="store_true", default=False,
+                   help="Conditional refetch: store each ok page's "
+                        "ETag/Last-Modified and send "
+                        "If-None-Match/If-Modified-Since on refetch; 304 "
+                        "keeps the cached page (pays on TTL-recrawl "
+                        "workloads; live HTTP stage only)")
     p.add_argument("--health-report", action="store_true", default=False,
                    help="After the crawl, print the per-host "
                         "coverage/health rollup plus soft-404 and "
@@ -395,6 +401,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         css_exclude=args.exclude,
         seen_filter=args.seen_filter,
         trap_min_urls=args.trap_threshold,
+        revalidate=args.revalidate,
     )
     # ---- robots gate (north-rule robots.txt gating) ----------------------
     robots_df = None

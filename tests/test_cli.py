@@ -151,10 +151,11 @@ def test_flag_plumbing_into_config(spark, tmp_path, corpus_path, monkeypatch):
         "--rate-limit", "30", "--delay", "0.5", "--timeout", "7",
         "--proxy", "http://proxy:1", "--max-retries", "2",
         "--include", "#main", "--exclude", ".nav",
-        "--trap-threshold", "123", name="plumb",
+        "--trap-threshold", "123", "--revalidate", name="plumb",
     )
     c = captured["config"]
     assert c.trap_min_urls == 123
+    assert c.revalidate is True
     assert c.include_patterns == ["docs"] and c.exclude_patterns == ["private"]
     assert c.rate_limit == 30 and c.delay == 0.5 and c.timeout == 7
     assert c.proxy == "http://proxy:1" and c.max_retries == 2
