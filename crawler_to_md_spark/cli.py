@@ -470,6 +470,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         print("== crawl-trap candidates (exploding URL templates) ==")
         crawlhealth.trap_report(links.select("host", "url")).orderBy(
             F.desc("n_urls")).show(20, truncate=False)
+        print("== mirror-host candidates (shared-content pairs) ==")
+        crawlhealth.host_mirror_pairs(pages).orderBy(
+            F.desc("n_shared")).show(20, truncate=False)
     md_path = os.path.join(output, f"{out_name}.md")
     json_path = os.path.join(output, f"{out_name}.json")
     # sharded (executor-written, O(chunk) driver memory) is the default —

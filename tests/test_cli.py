@@ -480,4 +480,5 @@ def test_health_report_prints_sections(spark, tmp_path, corpus_path, capsys):
     assert "per-host crawl health" in got
     assert "soft-404 candidates" in got
     assert "crawl-trap candidates" in got
+    assert "mirror-host candidates" in got
     assert "h0.example.com" in got          # the report has real rows
