@@ -1235,6 +1235,16 @@ def _q_shuffle_split(spark, sf_dir):
     return out.select("doc_id", "split", "shuffle_pos")
 
 
+def _q_dataset_card(spark, sf_dir):
+    """Per-(lang, source) data-card rollup
+    (operators/textstats.dataset_card): docs, token/char mass,
+    unique-digest count, min/max length — every column an exact integer,
+    one partial-aggregated shuffle.  Oracle = the plain GROUP BY with the
+    shared token-count fragment."""
+    docs = _docs(spark, sf_dir).select("lang", "source", "text")
+    return textstats.dataset_card(docs, strata_cols=["lang", "source"])
+
+
 def _q_curriculum(spark, sf_dir):
     """Curriculum-learning phase assignment
     (operators/sampling.curriculum_buckets over the unigram-LM score):
@@ -1476,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "semantic_decontam": _q_semantic_decontam,
         "curriculum": _q_curriculum,
+        "dataset_card": _q_dataset_card,
         "wet_roundtrip": _q_wet_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
@@ -1892,6 +1903,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS host, min(comp) AS mirror_group
             FROM reach GROUP BY node
+        """,
+        "dataset_card": f"""
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum({textstats.DUCK_TOKEN_COUNT.format(t='text')})
+                        AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT)
+                       AS n_unique_digests,
+                   CAST(min(length(text)) AS BIGINT) AS min_chars,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars
+            FROM documents GROUP BY 1, 2
         """,
         "curriculum": f"""
             WITH scored AS ({textstats.duck_unigram_logprob_sql()})

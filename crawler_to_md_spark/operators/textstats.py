@@ -311,3 +311,24 @@ def duck_text_stats_sql(docs_rel: str = "documents") -> str:
                {duck_fingerprint(t)} AS fingerprint
         FROM {docs_rel}
     """
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text",
+                 strata_cols: list[str] | None = None) -> DataFrame:
+    """The "data card" rollup a corpus release ships: per-stratum document
+    count, token mass, unique-digest count (exact-dup signal), char mass,
+    and min/max document length — every column an exact integer (no
+    percentiles/means, which drift across engines), one partial-aggregated
+    shuffle on the stratum key.  ``strata_cols=None`` gives the one-row
+    whole-corpus card."""
+    t = F.col(text_col)
+    strata = strata_cols or []
+    grouped = docs.groupBy(*strata) if strata else docs.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(t).cast("long")).cast("long").alias("n_tokens"),
+        F.sum(F.length(t).cast("long")).cast("long").alias("n_chars"),
+        F.countDistinct(F.md5(t)).cast("long").alias("n_unique_digests"),
+        F.min(F.length(t)).cast("long").alias("min_chars"),
+        F.max(F.length(t)).cast("long").alias("max_chars"),
+    )
