@@ -1235,6 +1235,39 @@ def _q_shuffle_split(spark, sf_dir):
     return out.select("doc_id", "split", "shuffle_pos")
 
 
+def _q_multi_dedup(spark, sf_dir):
+    """Multi-signal dedup report — the union a production cleaning run
+    acts on: per id, is it an exact-TEXT-dup loser (min-id keeper per
+    md5 digest over the planted text corpus) and/or an embedding-NEAR-dup
+    loser (smaller-id cosine-0.9 neighbor exists, via the certified
+    banded-LSH + exact-verify path over the planted vector corpus);
+    ``dropped`` = either.  Oracle recomputes both signals the readable
+    way (digest GROUP BY + all-pairs cosine) and full-joins them."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tcorp = dedup.dup_corpus(docs)
+    groups = dedup.exact_dup_groups(tcorp)
+    with_digest = tcorp.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.md5("text").alias("digest"))
+    tlose = with_digest.join(groups, "digest").filter(
+        F.col("id") != F.col("keeper_doc_id")).select("id")
+    ecorp = similarity.dup_embedding_corpus(_emb(spark, sf_dir))
+    pairs = similarity.embedding_near_dups(
+        ecorp, EMB_DIM, threshold=0.9, max_hamming=8)
+    elose = pairs.select(F.col("id_b").alias("id")).distinct()
+    ids = with_digest.select("id").union(
+        ecorp.select(F.col("vec_id").cast("long").alias("id"))).distinct()
+    return (
+        ids.join(tlose.withColumn("__t", F.lit(True)), "id", "left")
+        .join(elose.withColumn("__e", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.coalesce("__t", F.lit(False)).alias("text_dup"),
+            F.coalesce("__e", F.lit(False)).alias("emb_dup"))
+        .withColumn("dropped", F.col("text_dup") | F.col("emb_dup"))
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """Per-(lang, source) data-card rollup
     (operators/textstats.dataset_card): docs, token/char mass,
@@ -1487,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": _q_semantic_decontam,
         "curriculum": _q_curriculum,
         "dataset_card": _q_dataset_card,
+        "multi_dedup": _q_multi_dedup,
         "wet_roundtrip": _q_wet_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
@@ -1903,6 +1937,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS host, min(comp) AS mirror_group
             FROM reach GROUP BY node
+        """,
+        "multi_dedup": """
+            WITH tcorp AS (
+                SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT) + 1000000, text
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT) + 2000000,
+                       text || ' extra tail token'
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            keep AS (
+                SELECT md5(text) AS digest, count(*) AS n,
+                       min(id) AS keeper
+                FROM tcorp GROUP BY 1
+            ),
+            tlose AS (
+                SELECT t.id FROM tcorp t
+                JOIN keep k ON md5(t.text) = k.digest
+                WHERE k.n > 1 AND t.id != k.keeper
+            ),
+            ecorp AS (
+                SELECT CAST(vec_id AS BIGINT) AS id,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+                UNION ALL
+                SELECT CAST(vec_id AS BIGINT) + 1000000,
+                       list_transform(
+                           range(1, len(CAST(embedding AS DOUBLE[])) + 1),
+                           i -> CAST(embedding AS DOUBLE[])[i]
+                                * (1.0 + 0.05 * (((i - 1) % 3) - 1)))
+                FROM embeddings WHERE vec_id % 9 = 0
+            ),
+            elose AS (
+                SELECT DISTINCT b.id FROM ecorp a JOIN ecorp b
+                  ON a.id < b.id
+                WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9
+            ),
+            ids AS (
+                SELECT id FROM tcorp UNION SELECT id FROM ecorp
+            )
+            SELECT i.id,
+                   i.id IN (SELECT id FROM tlose) AS text_dup,
+                   i.id IN (SELECT id FROM elose) AS emb_dup,
+                   (i.id IN (SELECT id FROM tlose)
+                    OR i.id IN (SELECT id FROM elose)) AS dropped
+            FROM ids i
         """,
         "dataset_card": f"""
             SELECT lang, source,
