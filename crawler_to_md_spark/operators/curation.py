@@ -654,13 +654,27 @@ def exact_substr_cut(
     union of their [pos, pos+n) index ranges, computed in-row from the
     per-document sorted dup-start list.
 
-    Scale shape = :func:`dup_window_fraction` plus one aggregate: keeper
-    per window key is the combine-safe ``min(struct(id, pos))``, the dup
-    test a many-to-one join against the one-row-per-key keeper table, the
-    per-document dup-start list a second partial aggregate (bounded by
-    the document's own window count — row-sized, never corpus-sized), and
-    the cut itself a pure in-row projection.  Three near-uniform-key
-    shuffles, nothing driver-side."""
+    Scale shape = :func:`dup_window_fraction` plus the cut, which is
+    FULLY RELATIONAL: keeper per window key is the combine-safe
+    ``min(struct(id, pos))``, the dup test a many-to-one join against the
+    one-row-per-key keeper table, and the cut itself an exploded
+    token-index anti-join against the exploded covered-index set —
+    only documents that actually lost a window ever explode their tokens
+    (left-semi gate), untouched documents pass through byte-identical
+    without touching the token path at all.
+
+    Why not in-row: the earlier form referenced the covered-index
+    expression (``array_distinct(flatten(transform(__starts, ...)))``)
+    inside the per-token ``F.filter`` lambda; Catalyst inlines the
+    referenced subtree into the lambda body and higher-order functions
+    evaluate interpreted with no common-subexpression elimination, so the
+    flatten/distinct re-executed for EVERY token — O(T × C·n) per row
+    (the same measured re-execution family as the round-3 shingle /
+    MinHash fixes, BENCH.md).  The exploded form is O(tokens) work with
+    near-uniform shuffle keys ((id, idx) pairs) and per-key state bounded
+    by one token — boilerplate-heavy documents (ExactSubstr's common
+    case) cost linear time instead of quadratic.  Measured on a planted
+    1k-token mirror corpus: see BENCH.md (ExactSubstr cut entry)."""
     ex = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(window_keys(F.col(text_col), n)).alias("__pos", "__w"),
@@ -671,34 +685,47 @@ def exact_substr_cut(
     is_dup = (F.col("__id") != F.col("__k.__id")) | (
         F.col("__pos") != F.col("__k.__pos")
     )
-    dup_starts = (
-        ex.join(keepers, "__w")
-        .filter(is_dup)
+    dup_starts = ex.join(keepers, "__w").filter(is_dup).select("__id", "__pos")
+    # covered token indices of dirty docs, as ROWS: overlapping windows
+    # merge via relational distinct, never an in-row set union
+    cov = dup_starts.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__idx"),
+    ).distinct()
+    dirty_ids = cov.select("__id").distinct()
+    dirty = docs.join(
+        dirty_ids.withColumnRenamed("__id", id_col), id_col, "left_semi"
+    )
+    toks_ex = dirty.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__idx", "__tok"),
+    )
+    rebuilt = (
+        toks_ex.join(cov, ["__id", "__idx"], "left_anti")
         .groupBy("__id")
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
-    )
-    toks = tokens(F.col(text_col))
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.col("__starts"),
-                lambda s: F.sequence(s, s + F.lit(n - 1)),
-            )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__idx", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("__cut")
         )
     )
-    cut = F.array_join(
-        F.filter(toks, lambda x, i: ~F.array_contains(covered, i)), " "
+    clean = docs.join(
+        dirty_ids.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    ).select(F.col(id_col), F.col(text_col))
+    # a fully-covered document loses every token: no surviving rows, so
+    # the left join yields NULL and the text coalesces to '' (array_join
+    # over an empty array — the previous in-row form's exact output)
+    cut_docs = dirty_ids.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("__cut"), F.lit("")).alias(text_col),
     )
-    return (
-        docs.join(dup_starts,
-                  docs[id_col] == dup_starts["__id"], "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("__starts").isNull(), F.col(text_col))
-            .otherwise(cut)
-            .alias(text_col),
-        )
-    )
+    return clean.unionByName(cut_docs)
 
 
 def duck_exact_substr_sql(

@@ -394,3 +394,24 @@ class TestExactSubstrCut:
                for r in curation.exact_substr_cut(docs, n=10).collect()}
         assert got[1] == rows[0][1]
         assert got[2] == "tail_two"
+
+    def test_idempotent(self, spark):
+        # cut twice == cut once: after one pass no n-window occurs at two
+        # (id, pos) grains anymore, so the second pass is the identity
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        once = curation.exact_substr_cut(docs, n=10)
+        twice = curation.exact_substr_cut(once, n=10)
+        a = {r["doc_id"]: r["text"] for r in once.collect()}
+        b = {r["doc_id"]: r["text"] for r in twice.collect()}
+        assert a == b
+
+    def test_clean_docs_never_explode_tokens(self, spark):
+        # untouched documents pass through on the left-anti branch: the
+        # token-explode path is gated behind the dirty-id semi join, so a
+        # no-dup corpus does zero token-grain work beyond the window scan
+        docs = spark.createDataFrame(
+            [(1, "only one doc so nothing can be secondhand here at all")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in curation.exact_substr_cut(docs, n=10).collect()}
+        assert got == {1: docs.collect()[0]["text"]}
