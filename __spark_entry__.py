@@ -1238,11 +1238,15 @@ def _q_shuffle_split(spark, sf_dir):
 def _q_multi_dedup(spark, sf_dir):
     """Multi-signal dedup report — the union a production cleaning run
     acts on: per id, is it an exact-TEXT-dup loser (min-id keeper per
-    md5 digest over the planted text corpus) and/or an embedding-NEAR-dup
-    loser (smaller-id cosine-0.9 neighbor exists, via the certified
+    md5 digest over the planted text corpus), a text-NEAR-dup loser
+    (larger side of a verified MinHash-LSH jaccard-0.5 pair — the
+    certified banded path whose exact-verify step makes it equal to
+    brute-force shingle jaccard), and/or an embedding-NEAR-dup loser
+    (smaller-id cosine-0.9 neighbor exists, via the certified
     banded-LSH + exact-verify path over the planted vector corpus);
-    ``dropped`` = either.  Oracle recomputes both signals the readable
-    way (digest GROUP BY + all-pairs cosine) and full-joins them."""
+    ``dropped`` = any of the three.  Oracle recomputes all three
+    signals the readable way (digest GROUP BY + all-pairs shingle
+    jaccard + all-pairs cosine) and full-joins them."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     tcorp = dedup.dup_corpus(docs)
     groups = dedup.exact_dup_groups(tcorp)
@@ -1251,6 +1255,8 @@ def _q_multi_dedup(spark, sf_dir):
         F.md5("text").alias("digest"))
     tlose = with_digest.join(groups, "digest").filter(
         F.col("id") != F.col("keeper_doc_id")).select("id")
+    npairs = dedup.minhash_near_dups(tcorp, threshold=0.5)
+    nlose = npairs.select(F.col("doc_b").cast("long").alias("id")).distinct()
     ecorp = similarity.dup_embedding_corpus(_emb(spark, sf_dir))
     pairs = similarity.embedding_near_dups(
         ecorp, EMB_DIM, threshold=0.9, max_hamming=8)
@@ -1259,12 +1265,16 @@ def _q_multi_dedup(spark, sf_dir):
         ecorp.select(F.col("vec_id").cast("long").alias("id"))).distinct()
     return (
         ids.join(tlose.withColumn("__t", F.lit(True)), "id", "left")
+        .join(nlose.withColumn("__n", F.lit(True)), "id", "left")
         .join(elose.withColumn("__e", F.lit(True)), "id", "left")
         .select(
             "id",
             F.coalesce("__t", F.lit(False)).alias("text_dup"),
+            F.coalesce("__n", F.lit(False)).alias("near_dup"),
             F.coalesce("__e", F.lit(False)).alias("emb_dup"))
-        .withColumn("dropped", F.col("text_dup") | F.col("emb_dup"))
+        .withColumn(
+            "dropped",
+            F.col("text_dup") | F.col("near_dup") | F.col("emb_dup"))
     )
 
 
@@ -1938,16 +1948,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS host, min(comp) AS mirror_group
             FROM reach GROUP BY node
         """,
-        "multi_dedup": """
-            WITH tcorp AS (
-                SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
-                UNION ALL
-                SELECT CAST(doc_id AS BIGINT) + 1000000, text
-                FROM documents WHERE doc_id % 7 = 0
-                UNION ALL
-                SELECT CAST(doc_id AS BIGINT) + 2000000,
-                       text || ' extra tail token'
-                FROM documents WHERE doc_id % 11 = 0
+        "multi_dedup": f"""
+            WITH {dedup._duck_pairs_ctes("documents", 0.5, 3)},
+            tcorp AS (
+                SELECT CAST(doc_id AS BIGINT) AS id, text FROM dup_corpus
             ),
             keep AS (
                 SELECT md5(text) AS digest, count(*) AS n,
@@ -1958,6 +1962,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT t.id FROM tcorp t
                 JOIN keep k ON md5(t.text) = k.digest
                 WHERE k.n > 1 AND t.id != k.keeper
+            ),
+            nlose AS (
+                SELECT DISTINCT doc_b AS id FROM nd_pairs
             ),
             ecorp AS (
                 SELECT CAST(vec_id AS BIGINT) AS id,
@@ -1981,8 +1988,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT i.id,
                    i.id IN (SELECT id FROM tlose) AS text_dup,
+                   i.id IN (SELECT id FROM nlose) AS near_dup,
                    i.id IN (SELECT id FROM elose) AS emb_dup,
                    (i.id IN (SELECT id FROM tlose)
+                    OR i.id IN (SELECT id FROM nlose)
                     OR i.id IN (SELECT id FROM elose)) AS dropped
             FROM ids i
         """,

@@ -271,12 +271,23 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         from crawler_to_md_spark.sources import archive
 
         recs = archive.read_warc(spark, args.warc_input)
-        pages = recs.filter(
-            "corrupt IS NULL AND kind = 'response' AND status_code = 200 "
-            "AND (content_type IS NULL OR content_type LIKE 'text/html%')")
-        n_dropped = recs.count() - pages.count()
+        keep = (
+            F.col("corrupt").isNull()
+            & (F.col("kind") == "response")
+            & (F.col("status_code") == 200)
+            & (F.col("content_type").isNull()
+               | F.col("content_type").startswith("text/html"))
+        )
+        # ONE aggregation scan for the drop count — the earlier
+        # recs.count() - pages.count() form ran TWO full archive scans
+        # (each re-running the pandas parse) for a log line
+        n_dropped = int(
+            recs.agg(
+                F.sum(F.when(keep, 0).otherwise(1)).alias("d")
+            ).collect()[0]["d"] or 0)
         if n_dropped:
             print(f"Dropped {n_dropped} non-page/corrupt WARC records")
+        pages = recs.filter(keep)
         extract = make_extract_udf(args.include, args.exclude)
         ok_docs = pages.select(
             "url", extract(F.col("html")).alias("doc")
@@ -297,11 +308,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             parser.error("--wet-input requires --training-shards-dir")
         from crawler_to_md_spark.sources import archive
 
+        from pyspark.sql import functions as F
+
         recs = archive.read_wet(spark, args.wet_input)
-        ok_docs = recs.filter("corrupt IS NULL").select("url", "text")
-        n_corrupt = recs.filter("corrupt IS NOT NULL").count()
+        # ONE aggregation scan for the corrupt count (not two counts)
+        n_corrupt = int(
+            recs.agg(
+                F.sum(F.when(F.col("corrupt").isNull(), 0).otherwise(1))
+                .alias("d")
+            ).collect()[0]["d"] or 0)
         if n_corrupt:
             print(f"Dropped {n_corrupt} corrupt archive records")
+        ok_docs = recs.filter("corrupt IS NULL").select("url", "text")
         if args.clean:
             ok_docs = _clean_docs(spark, args, ok_docs)
         exports.export_training_shards(

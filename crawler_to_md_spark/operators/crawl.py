@@ -609,6 +609,18 @@ class CrawlEngine:
                 F.col("outcome").isin("http_skip", "nonhtml_skip").cast("long")
             ).alias("skipped"),
             F.collect_set(bucket_of).alias("dirty_buckets"),
+            # docs-row outcomes only: not_modified keeps its committed doc
+            # untouched, so a pure-304 revalidation wave must not read
+            # back + rewrite docs buckets whose content cannot change
+            F.sum((F.col("outcome") == "ok").cast("long"))
+            .alias("fetched_ok_strict"),
+            F.collect_set(
+                F.when(
+                    F.col("outcome").isin(
+                        "ok", "conn_error", "http_retriable", "empty"),
+                    bucket_of,
+                )
+            ).alias("docs_dirty_buckets"),
         ]
         obs = Observation(f"wave-{wave_id}")
         # localCheckpoint TRUNCATES the logical plan at the wave batch:
@@ -747,15 +759,19 @@ class CrawlEngine:
 
         # docs upsert, last-write-wins (database_manager.py:103-123;
         # Iceberg MERGE in production — per-bucket anti-join + union is
-        # the parquet equivalent).  docs_batch URLs are a subset of the
-        # dequeued batch, so the FETCH-touched buckets cover every touched
-        # docs bucket — discovery-only buckets (new frontier links, no doc
-        # change) neither read back nor rewrite.  A wave where every
+        # the parquet equivalent).  The dirty set is the buckets of the
+        # docs_batch rows themselves (observed above) — discovery-only
+        # buckets and buckets whose only outcomes were skips or 304
+        # revalidations neither read back nor rewrite.  A wave where every
         # outcome was a hard skip (404/non-HTML) produces no doc rows at
         # all and omits the docs table from the commit entirely (the
         # manifest carries it forward untouched).
-        n_docs = int(stats["fetched_ok"] or 0) + int(stats["failed_retriable"] or 0)
-        docs_dirty = sorted(fetch_dirty)
+        # ok-only + retriable failures == exactly the docs_batch rows;
+        # fetched_ok would also count not_modified outcomes that contribute
+        # no rows (the gate would rewrite identical buckets on TTL waves)
+        n_docs = (int(stats["fetched_ok_strict"] or 0)
+                  + int(stats["failed_retriable"] or 0))
+        docs_dirty = sorted(set(stats["docs_dirty_buckets"] or []))
         docs_new = None
         if n_docs:
             docs_new = (

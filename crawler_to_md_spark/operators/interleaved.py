@@ -57,6 +57,33 @@ __all__ = [
 # membership is decided by KIND, never by media_ref presence.
 MEDIA_KINDS = ("image", "video", "audio")
 
+import itertools as _itertools
+
+_cap_ids = _itertools.count()
+
+
+def _cap_spans(docs: DataFrame, spans_col: str, max_spans: int | None,
+               op_name: str) -> DataFrame:
+    """Guard for the in-row O(n²) span operators: documents beyond
+    ``max_spans`` spans are TRUNCATED to their first ``max_spans`` spans
+    (document order), so one pathological 10^5-span page costs a bounded
+    10^10-op row ceiling instead of stalling an executor.  The cap is
+    surfaced, not silent: an ``observe`` metric
+    ``n_truncated_docs`` (named ``<op>_span_cap_<n>``) counts affected
+    documents on whatever action materializes the query — visible in the
+    Spark UI / QueryExecution metrics.  ``max_spans=None`` disables."""
+    if max_spans is None:
+        return docs
+    over = F.size(F.col(spans_col)) > max_spans
+    return docs.observe(
+        f"{op_name}_span_cap_{next(_cap_ids)}",
+        F.sum(over.cast("long")).alias("n_truncated_docs"),
+    ).withColumn(
+        spans_col,
+        F.when(over, F.slice(F.col(spans_col), 1, max_spans))
+        .otherwise(F.col(spans_col)),
+    )
+
 
 def _is_media(s: Column) -> Column:
     return s["kind"].isin(*MEDIA_KINDS)
@@ -160,6 +187,7 @@ def media_context_pairs(
     url_col: str = "url",
     spans_col: str = "spans",
     kinds: tuple[str, ...] = MEDIA_KINDS,
+    max_spans: int | None = 10_000,
 ) -> DataFrame:
     """Caption-candidate context for every media span: ``(url, media_ref,
     kind, context_before, context_after)`` where the contexts are the
@@ -176,7 +204,12 @@ def media_context_pairs(
     document over an array bounded by page size, still scan-stage work) —
     then one explode emits a row per media span.  No shuffle, no Python,
     no window; at 100 TB this is a pure map over the document scan.
+    ``max_spans`` makes the O(n²) bound DELIBERATE: a pathological
+    10^5-span document truncates to its first ``max_spans`` spans and the
+    affected-doc count surfaces as an observed metric (see
+    :func:`_cap_spans`).
     """
+    docs = _cap_spans(docs, spans_col, max_spans, "media_context")
     kind_set = list(kinds)
     spans = F.col(spans_col)
 
@@ -217,6 +250,7 @@ def section_chunks(
     id_col: str = "url",
     spans_col: str = "spans",
     heading_prefix: str = "heading",
+    max_spans: int | None = 10_000,
 ) -> DataFrame:
     """Split every interleaved document into heading-delimited sections —
     the chunking grain of RAG indexing and SFT example construction:
@@ -235,7 +269,10 @@ def section_chunks(
     emits a row per section.  No shuffle, no window partitioned by
     document — the classic ``COUNT() OVER (PARTITION BY doc)`` form would
     shuffle the whole corpus; this never leaves the scan stage.
+    ``max_spans`` bounds the quadratic term exactly as in
+    :func:`media_context_pairs` (truncate + observed count).
     """
+    docs = _cap_spans(docs, spans_col, max_spans, "section_chunks")
     spans = F.col(spans_col)
 
     def is_heading(s: Column) -> Column:

@@ -403,43 +403,93 @@ _SEP_B = _SEP.encode()
 _MARKER_B = (_SEP + MARKER + _CRLF).encode()
 
 
-def _scan_file_exact(data: str) -> list[str]:
-    """Sequentially scan ONE archive file into record fragments using
+def _iter_file_exact(fh, chunk_chars: int = 1 << 20) -> Iterator[str]:
+    """Sequentially scan ONE archive stream into record fragments using
     Content-Length as the authoritative frame — a payload that embeds the
     record separator (the case the splittable lineSep reader must
     quarantine) is carried intact because nothing is split by pattern.
     A record whose header is unparseable can't be skipped reliably; the
     scanner emits it as-is (it will parse as corrupt) and resyncs at the
-    next record boundary."""
-    enc = data.encode("utf-8")
-    frags: list[str] = []
-    i = 0
-    n = len(enc)
-    while i < n:
-        j = enc.find(_SEP_B, i)
+    next record boundary.
+
+    INCREMENTAL: reads ``fh`` (text mode) in bounded chunks and keeps
+    only the current record in the buffer, so a multi-GB archive shard
+    costs one-record memory per executor instead of whole-file (the
+    earlier form read ``fh.read()`` — an OOM hazard exactly on the
+    recovery path that targets oversized/odd shards).  Worst case is one
+    unframeable region with no later record marker, which is emitted as
+    a single fragment and therefore must be held whole regardless."""
+    buf = b""
+    eof = False
+
+    def _fill() -> bool:
+        nonlocal buf, eof
+        if eof:
+            return False
+        chunk = fh.read(chunk_chars)
+        if not chunk:
+            eof = True
+            return False
+        # per-chunk encode concatenates to exactly the whole-file encode:
+        # text chunks split at code-point boundaries
+        buf += chunk.encode("utf-8")
+        return True
+
+    def _find(pat: bytes, start: int) -> int:
+        # find pat from start, refilling until found or EOF; resume each
+        # retry with a pattern-length overlap so a separator spanning a
+        # refill boundary is still seen
+        nonlocal buf
+        while True:
+            k = buf.find(pat, start)
+            if k >= 0:
+                return k
+            start = max(start, len(buf) - len(pat) + 1)
+            if not _fill():
+                return -1
+
+    while True:
+        if not buf and not _fill():
+            return
+        j = _find(_SEP_B, 0)
         if j < 0:
-            frags.append(enc[i:].decode("utf-8", errors="replace"))
-            break
-        head = enc[i:j].decode("utf-8", errors="replace")
+            yield buf.decode("utf-8", errors="replace")
+            return
+        head = buf[:j].decode("utf-8", errors="replace")
         clen = None
         for line in head.split("\r\n"):
             k, colon, v = line.partition(":")
             if colon and k.strip() == H_LEN and v.strip().isdigit():
                 clen = int(v.strip())
-        if clen is None or j + len(_SEP_B) + clen > n:
+        if clen is not None:
+            # frame end + one separator of lookahead
+            need = j + len(_SEP_B) + clen + len(_SEP_B)
+            while len(buf) < need and _fill():
+                pass
+        if clen is None or j + len(_SEP_B) + clen > len(buf):
             # unframeable: emit to the next record boundary (corrupt row)
             # and resync there
-            k = enc.find(_MARKER_B, i)
-            end = n if k < 0 else k
-            frags.append(enc[i:end].decode("utf-8", errors="replace"))
-            i = n if k < 0 else k + len(_SEP_B)
+            k = _find(_MARKER_B, 0)
+            if k < 0:
+                yield buf.decode("utf-8", errors="replace")
+                return
+            yield buf[:k].decode("utf-8", errors="replace")
+            buf = buf[k + len(_SEP_B):]
             continue
         start = j + len(_SEP_B)
-        frags.append(enc[i:start + clen].decode("utf-8", errors="replace"))
-        i = start + clen
-        if enc[i:i + len(_SEP_B)] == _SEP_B:
-            i += len(_SEP_B)
-    return [f for f in frags if f.strip()]
+        end = start + clen
+        yield buf[:end].decode("utf-8", errors="replace")
+        if buf[end:end + len(_SEP_B)] == _SEP_B:
+            end += len(_SEP_B)
+        buf = buf[end:]
+
+
+def _scan_file_exact(data: str) -> list[str]:
+    """Whole-string form of :func:`_iter_file_exact` (tests / small
+    inputs)."""
+    import io
+
+    return [f for f in _iter_file_exact(io.StringIO(data)) if f.strip()]
 
 
 def _read_exact(spark: SparkSession, path: str, parse_fragment, schema):
@@ -452,13 +502,13 @@ def _read_exact(spark: SparkSession, path: str, parse_fragment, schema):
             rows = []
             for fname in batch["file"]:
                 # newline="" preserves the \r\n record framing (universal
-                # newline translation would erase every separator)
+                # newline translation would erase every separator); the
+                # incremental scanner holds one record, not the file
                 opener = _gzip.open if fname.endswith(".gz") else open
                 with opener(fname, "rt", encoding="utf-8",
                             newline="") as fh:
-                    data = fh.read()
-                rows += [parse_fragment(f)
-                         for f in _scan_file_exact(data)]
+                    rows += [parse_fragment(f)
+                             for f in _iter_file_exact(fh) if f.strip()]
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     pattern = path if _os.path.isfile(path) else _os.path.join(path, "*")

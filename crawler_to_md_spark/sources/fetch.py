@@ -107,18 +107,49 @@ def _is_html(content_type: str | None) -> bool:
     return ct in HTML_TYPES
 
 
-def _call_transport(transport, url, policy, headers):
-    """Invoke a transport, tolerating both generations of the contract:
-    legacy 4-arg/4-tuple (no conditional requests) and the extended
-    5-arg/5-tuple (request headers in, response validators out)."""
+def _adapt_transport(transport):
+    """Normalize a transport to the extended 5-arg/5-tuple contract,
+    wrapping legacy 4-arg ones.  The signature is probed ONCE (inspect),
+    never by catching TypeError from a live call: a TypeError raised
+    INSIDE a new-style transport (e.g. a bad header value) must
+    propagate, not silently re-issue the HTTP request with the
+    conditional headers dropped — that was a duplicate GET per retry
+    attempt and lost If-None-Match semantics."""
+    if getattr(transport, "_ctm_adapted", False):
+        return transport
     try:
-        result = transport(url, policy.timeout, policy.proxy, True, headers)
-    except TypeError:
-        result = transport(url, policy.timeout, policy.proxy, True)
-    if len(result) == 4:
-        status, ct, body, err = result
-        return status, ct, body, err, (None, None)
-    return result
+        import inspect
+
+        sig = inspect.signature(transport)
+        n_pos = sum(
+            1 for p in sig.parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        )
+        new_style = n_pos >= 5 or any(
+            p.kind == p.VAR_POSITIONAL for p in sig.parameters.values()
+        )
+    except (TypeError, ValueError):  # C-level callables: assume modern
+        new_style = True
+
+    def call(url, timeout, proxy, want_body, headers=None):
+        if new_style:
+            result = transport(url, timeout, proxy, want_body, headers)
+        else:
+            result = transport(url, timeout, proxy, want_body)
+        if len(result) == 4:
+            status, ct, body, err = result
+            return status, ct, body, err, (None, None)
+        return result
+
+    call._ctm_adapted = True
+    return call
+
+
+def _call_transport(transport, url, policy, headers):
+    """Invoke a transport through the normalized contract (see
+    :func:`_adapt_transport`; hot paths pre-adapt once per partition)."""
+    transport = _adapt_transport(transport)
+    return transport(url, policy.timeout, policy.proxy, True, headers)
 
 
 def fetch_one(
@@ -158,8 +189,13 @@ def fetch_one(
         if attempts < policy.max_retries:
             # urllib3 formula: backoff_factor * 2**(retry_number)
             policy.sleep(policy.backoff * (2 ** (attempts - 1)))
+    # not_modified only counts when validators were actually SENT: a
+    # server spuriously answering 304 on a first-ever fetch must fall
+    # through to the http_skip taxonomy, not mark the URL visited-ok
+    # with no doc row ever committed
     return (status, ct, body, attempts,
-            _is_html(ct) and status == 200, err, resp_vals, status == 304)
+            _is_html(ct) and status == 200, err, resp_vals,
+            status == 304 and validators is not None)
 
 
 def proxy_self_test(
@@ -202,7 +238,9 @@ def http_fetch_stage(
         cols.append(last_modified_col)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        transport = transport_factory()   # one session per partition/task
+        # one session per partition/task; signature probed once here, not
+        # per URL (_adapt_transport is a no-op on already-adapted callables)
+        transport = _adapt_transport(transport_factory())
         first = True
         for pdf in batches:
             out = {k: [] for k in ("url", "status_code", "content_type",

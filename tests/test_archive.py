@@ -410,3 +410,39 @@ class TestExactScanProperty:
                 assert p["record_id"] == str(i)
 
         run()
+
+    def test_incremental_scan_is_chunk_size_invariant(self):
+        """The streaming scanner (bounded-memory refill) must produce the
+        same fragments at ANY chunk size — including chunks that split
+        headers, payloads, separators, and multi-byte UTF-8 sequences."""
+        import io
+
+        from hypothesis import given, settings, strategies as st
+
+        payload = st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   exclude_characters=["\x00"]),
+            max_size=80)
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(payload, min_size=1, max_size=5),
+               st.integers(min_value=1, max_value=7),
+               st.booleans())
+        def run(texts, chunk, corrupt_first):
+            recs = []
+            for i, t in enumerate(texts):
+                recs.append(
+                    f"WARC/1.0\r\n{archive.H_ID}: {i}\r\n"
+                    f"{archive.H_URI}: u{i}\r\n"
+                    f"{archive.H_LEN}: {len(t.encode('utf-8'))}\r\n\r\n{t}")
+            stream = archive._SEP.join(recs) + archive._SEP
+            if corrupt_first:
+                # headerless garbage prefix: exercises the resync branch
+                stream = "no content length here" + archive._SEP + stream
+            whole = [f for f in archive._iter_file_exact(
+                io.StringIO(stream), chunk_chars=1 << 20) if f.strip()]
+            tiny = [f for f in archive._iter_file_exact(
+                io.StringIO(stream), chunk_chars=chunk) if f.strip()]
+            assert tiny == whole
+
+        run()

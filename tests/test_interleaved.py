@@ -283,3 +283,46 @@ class TestSectionChunks:
         plan = (interleaved.section_chunks(docs)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestSpanCap:
+    """The max_spans guard on the in-row O(n²) operators: truncation is
+    deliberate and surfaced, never an unbounded executor stall."""
+
+    def _long_doc(self, spark, n):
+        spans = [("heading1", "H", None)]
+        for i in range(n - 1):
+            spans.append(("paragraph", f"p{i}", None))
+        return _docs(spark, [("https://h0/long", _ospans(*spans))])
+
+    def test_truncation_processes_prefix_only(self, spark):
+        docs = self._long_doc(spark, 20)
+        full = interleaved.section_chunks(docs, max_spans=None).collect()
+        capped = interleaved.section_chunks(docs, max_spans=5).collect()
+        assert sum(r["n_spans"] for r in full) == 20
+        assert sum(r["n_spans"] for r in capped) == 5
+        # prefix semantics: the capped text is a prefix of the full text
+        assert full[0]["text"].startswith(capped[0]["text"])
+
+    def test_under_cap_is_identity(self, spark):
+        docs = self._long_doc(spark, 20)
+        a = interleaved.section_chunks(docs).collect()
+        b = interleaved.section_chunks(docs, max_spans=None).collect()
+        assert a == b
+
+    def test_media_context_cap(self, spark):
+        spans = [("paragraph", "intro", None),
+                 ("image", None, "https://h0/1.png"),
+                 ("paragraph", "mid", None),
+                 ("image", None, "https://h0/2.png")]
+        docs = _docs(spark, [("https://h0/m", _ospans(*spans))])
+        got = interleaved.media_context_pairs(docs, max_spans=2).collect()
+        # only the first 2 spans survive: one media, before=intro, after=None
+        assert [(r["media_ref"], r["context_before"], r["context_after"])
+                for r in got] == [("https://h0/1.png", "intro", None)]
+
+    def test_cap_count_is_observed_not_silent(self, spark):
+        docs = self._long_doc(spark, 20)
+        plan = (interleaved.section_chunks(docs, max_spans=5)
+                ._jdf.queryExecution().analyzed().toString())
+        assert "n_truncated_docs" in plan  # CollectMetrics node present
