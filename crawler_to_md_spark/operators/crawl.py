@@ -83,6 +83,23 @@ RETRIABLE_STATUSES = (429, 500, 502, 503, 504)  # scraper.py:101-106 forcelist
 _PROFILE = bool(os.environ.get("CMS_PROFILE"))
 
 
+@dataclass
+class _WaveDelta:
+    """Read-your-writes view of the wave whose COMMIT is still in flight.
+
+    The pipelined run loop starts wave k+1's dequeue while wave k's
+    snapshot commit writes its buckets; the next wave's frontier view is
+    the last-COMMITTED snapshot composed with this in-memory delta:
+    ``fetched``'s urls are now visited (every dequeued URL is marked
+    visited, O2), and ``new_links`` (persisted) are new unvisited rows
+    plus new seen-set members.  Both frames are checkpointed/persisted,
+    so composing them costs one broadcast join + one union — no
+    recomputation of wave k's lineage."""
+
+    fetched: DataFrame
+    new_links: "DataFrame | None"
+
+
 def _observation_result(obs: Observation, timeout: float = 5.0,
                         state: "dict | None" = None):
     """Bounded wait for observed metrics.  ``Observation.get`` blocks with
@@ -486,9 +503,28 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def _wave(
-        self, wave_id: int, run_id: int, bloom: BloomShardStore | None
-    ) -> tuple[int, int]:
-        """Process one micro-batch; returns (urls dequeued, links inserted)."""
+        self, wave_id: int, run_id: int, bloom: BloomShardStore | None,
+        links_base: "DataFrame | None" = None,
+        prev_delta: "_WaveDelta | None" = None,
+    ):
+        """COMPUTE one micro-batch (dequeue → fetch → classify → discover)
+        and return ``(urls dequeued, links inserted, commit_fn, delta)``.
+
+        The snapshot commit is NOT performed here: ``commit_fn(rules)``
+        is a closure the run loop submits to its one-slot commit thread
+        AFTER the previous wave's commit landed, so wave k+1's compute
+        phase overlaps wave k's bucket writes.  ``commit_fn`` builds the
+        links/docs read-modify-write plans at RUN time (against the
+        then-current manifest — the previous commit has landed by
+        construction) and performs the atomic snapshot advance.
+
+        Read-your-writes: when the previous wave's commit is (possibly)
+        still in flight, ``links_base`` is the last-COMMITTED links scan
+        (captured by the loop before submitting that commit — pinned
+        files, so it is the same frame whether or not the commit has
+        since landed) and ``prev_delta`` carries the in-memory wave
+        state; their composition is exactly the links table the
+        sequential loop would have read."""
         cfg = self.config
         pt = _phase_timer(wave_id)
         pt.mark("fetch+stats")
@@ -497,7 +533,30 @@ class CrawlEngine:
         if entry is not None:
             B = int(entry["n_buckets"])
         bucket_of = F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
-        links_all = self.store.read("links")
+        if links_base is None:
+            links_all = self.store.read("links")
+        else:
+            links_all = links_base
+            if prev_delta is not None:
+                # wave k's dequeued urls are visited now (O2: every
+                # dequeued URL, success or failure); wave-sized frame ->
+                # broadcast the flag join.  retry_count is NOT patched:
+                # within a run a visited row never re-dequeues, and the
+                # committed value (what resume reads) comes from wave k's
+                # commit, which lands before any later commit.
+                upd_prev = F.broadcast(
+                    prev_delta.fetched.select("url")
+                    .withColumn("__pv", F.lit(True)))
+                links_all = (
+                    links_base.join(upd_prev, "url", "left")
+                    .withColumn(
+                        "visited",
+                        F.col("visited") | F.col("__pv").isNotNull())
+                    .drop("__pv")
+                )
+                if prev_delta.new_links is not None:
+                    links_all = links_all.unionByName(
+                        prev_delta.new_links.select(*links_base.columns))
         pending = links_all.filter(~F.col("visited"))
         if self.robots is not None:
             # dequeue-time robots gate: URLs inserted BEFORE their host's
@@ -694,7 +753,7 @@ class CrawlEngine:
             # frame's eager checkpoint as observed metrics — round 1 ran
             # three separate jobs here (count, seq counts, insert agg);
             # round 2 still ran two (candidate checkpoint + stats collect).
-            flagged = self._discover(fetched, links_all, bloom)
+            flagged = self._discover(fetched, links_all, bloom, prev_delta)
             unseen = F.col(schedule.UNSEEN_COL)
             d_aggs = [
                 F.count(F.lit(1)).alias("discovered"),
@@ -738,47 +797,12 @@ class CrawlEngine:
         pt.mark("links_merge")
         dirty = sorted(dirty_set)
 
-        # ---- frontier state update (O2 + A5, one MERGE analog) --------
-        # only the dirty buckets are read back and rewritten — clean
-        # buckets carry their files forward in the manifest (Iceberg-style
-        # incremental snapshot; reference semantics: one transaction/wave,
-        # database_manager.py:319-371)
-        upd = fetched.select("url", F.col("new_retry").alias("__retry"))
-        links_new = (
-            self.store.read_buckets("links", dirty)
-            .join(upd, "url", "left")
-            .select(
-                "url", "url_hash", "host",
-                (F.col("visited") | F.col("__retry").isNotNull()).alias("visited"),
-                F.coalesce(F.col("__retry"), F.col("retry_count")).alias("retry_count"),
-                "depth", "batch_id", "seq",
-            )
-        )
-        if new_links is not None:
-            links_new = links_new.unionByName(new_links)
-
-        # docs upsert, last-write-wins (database_manager.py:103-123;
-        # Iceberg MERGE in production — per-bucket anti-join + union is
-        # the parquet equivalent).  The dirty set is the buckets of the
-        # docs_batch rows themselves (observed above) — discovery-only
-        # buckets and buckets whose only outcomes were skips or 304
-        # revalidations neither read back nor rewrite.  A wave where every
-        # outcome was a hard skip (404/non-HTML) produces no doc rows at
-        # all and omits the docs table from the commit entirely (the
-        # manifest carries it forward untouched).
         # ok-only + retriable failures == exactly the docs_batch rows;
         # fetched_ok would also count not_modified outcomes that contribute
         # no rows (the gate would rewrite identical buckets on TTL waves)
         n_docs = (int(stats["fetched_ok_strict"] or 0)
                   + int(stats["failed_retriable"] or 0))
         docs_dirty = sorted(set(stats["docs_dirty_buckets"] or []))
-        docs_new = None
-        if n_docs:
-            docs_new = (
-                self.store.read_buckets("docs", docs_dirty)
-                .join(docs_batch.select("url"), "url", "left_anti")
-                .unionByName(docs_batch)
-            )
 
         # driver-written parquet segment — one row per wave does not
         # deserve a 32-task Spark write job (LiteralAppend)
@@ -794,67 +818,109 @@ class CrawlEngine:
             METRICS_SCHEMA,
         )
 
-        lineage = dict(self.store.lineage)
-        counters = dict(lineage.get("counters", {}))
-        for k in ("dequeued", "fetched_ok", "failed_retriable", "skipped"):
-            counters[k] = counters.get(k, 0) + int(stats[k] or 0)
-        counters["links_inserted"] = counters.get("links_inserted", 0) + inserted
-        lineage["counters"] = counters
-        lineage["frontier_offset"] = wave_id
-        pt.mark("bloom")
-        bloom_task = None
-        if bloom is not None and new_links is not None and inserted:
-            # executor-side shard update: durable on return, no driver-side
-            # bitmap merge or re-broadcast (bloom.py).  Runs as a commit
-            # extra task — its Spark job overlaps the links/docs bucket
-            # writes in the commit thread pool, and the manifest (which
-            # pins the bloom version) still only advances after it lands.
-            bloom_task = functools.partial(bloom.add_dataframe, new_links)
+        def commit_fn(robots_rules: "DataFrame | None") -> None:
+            """The wave's atomic snapshot commit.  Runs on the one-slot
+            commit thread AFTER the previous wave's commit landed, so the
+            manifest reads below see a settled store; meanwhile the run
+            loop is already computing the NEXT wave against the committed
+            base + this wave's in-memory delta."""
+            pt.mark("commit")
+            # ---- frontier state update (O2 + A5, one MERGE analog) ----
+            # only the dirty buckets are read back and rewritten — clean
+            # buckets carry their files forward in the manifest
+            # (Iceberg-style incremental snapshot; reference semantics:
+            # one transaction/wave, database_manager.py:319-371)
+            upd = fetched.select("url", F.col("new_retry").alias("__retry"))
+            links_new = (
+                self.store.read_buckets("links", dirty)
+                .join(upd, "url", "left")
+                .select(
+                    "url", "url_hash", "host",
+                    (F.col("visited") | F.col("__retry").isNotNull())
+                    .alias("visited"),
+                    F.coalesce(F.col("__retry"), F.col("retry_count"))
+                    .alias("retry_count"),
+                    "depth", "batch_id", "seq",
+                )
+            )
+            if new_links is not None:
+                links_new = links_new.unionByName(new_links)
 
-        def _final_lineage() -> dict:
-            if bloom is not None:
-                lineage["bloom_version"] = bloom.version
-            return lineage
+            # docs upsert, last-write-wins (database_manager.py:103-123;
+            # Iceberg MERGE in production — per-bucket anti-join + union
+            # is the parquet equivalent).  The dirty set is the buckets of
+            # the docs_batch rows themselves (observed above) —
+            # discovery-only buckets and buckets whose only outcomes were
+            # skips or 304 revalidations neither read back nor rewrite.  A
+            # wave where every outcome was a hard skip (404/non-HTML)
+            # produces no doc rows at all and omits the docs table from
+            # the commit entirely (the manifest carries it forward
+            # untouched).
+            docs_new = None
+            if n_docs:
+                docs_new = (
+                    self.store.read_buckets("docs", docs_dirty)
+                    .join(docs_batch.select("url"), "url", "left_anti")
+                    .unionByName(docs_batch)
+                )
 
-        pt.mark("commit")
-        updates = {
-            "links": BucketedUpdate(links_new, dirty, B),
-            "metrics": metrics_row,
-        }
-        if docs_new is not None:
-            # docs rows carry no url_hash column; BucketedUpdate falls
-            # back to xxhash64(url) — the same key, same buckets
-            updates["docs"] = BucketedUpdate(docs_new, docs_dirty, B)
-        if self._robots_pending is not None:
-            # rules fetched since the last commit become one appended
-            # segment of the store's robots coverage table — restart-safe,
-            # and the in-memory rules frame rebases onto the parquet scan
-            # below so its plan never accumulates per-wave union lineage
-            updates["robots"] = AppendUpdate(self._robots_pending)
-        self.store.commit(
-            updates,
-            batch_id=wave_id,
-            lineage=_final_lineage,
-            extra_tasks=[bloom_task] if bloom_task else None,
-        )
-        if self._robots_pending is not None:
-            self._robots_pending = None
-            from crawler_to_md_spark.sources.robots import ensure_rules_cols
+            lineage = dict(self.store.lineage)
+            counters = dict(lineage.get("counters", {}))
+            for k in ("dequeued", "fetched_ok", "failed_retriable",
+                      "skipped"):
+                counters[k] = counters.get(k, 0) + int(stats[k] or 0)
+            counters["links_inserted"] = (
+                counters.get("links_inserted", 0) + inserted)
+            lineage["counters"] = counters
+            lineage["frontier_offset"] = wave_id
+            bloom_task = None
+            if bloom is not None and new_links is not None and inserted:
+                # executor-side shard update: durable on return, no
+                # driver-side bitmap merge or re-broadcast (bloom.py).
+                # Runs as a commit extra task — its Spark job overlaps the
+                # links/docs bucket writes in the commit thread pool, and
+                # the manifest (which pins the bloom version) still only
+                # advances after it lands.
+                bloom_task = functools.partial(bloom.add_dataframe,
+                                               new_links)
 
-            self.robots = ensure_rules_cols(self.store.read("robots"))
+            def _final_lineage() -> dict:
+                if bloom is not None:
+                    lineage["bloom_version"] = bloom.version
+                return lineage
+
+            updates = {
+                "links": BucketedUpdate(links_new, dirty, B),
+                "metrics": metrics_row,
+            }
+            if docs_new is not None:
+                # docs rows carry no url_hash column; BucketedUpdate falls
+                # back to xxhash64(url) — the same key, same buckets
+                updates["docs"] = BucketedUpdate(docs_new, docs_dirty, B)
+            if robots_rules is not None:
+                # rules fetched since the last commit become one appended
+                # segment of the store's robots coverage table —
+                # restart-safe; the loop rebases the in-memory rules frame
+                # onto the parquet scan after this commit lands
+                updates["robots"] = AppendUpdate(robots_rules)
+            self.store.commit(
+                updates,
+                batch_id=wave_id,
+                lineage=_final_lineage,
+                extra_tasks=[bloom_task] if bloom_task else None,
+            )
+            pt.mark("end")
+
         # fetched/flagged are checkpointed, not cached: their blocks are
-        # reclaimed by the ContextCleaner once these references drop at
-        # wave end (unpersist() would be a no-op on them)
-        if new_links is not None:
-            new_links.unpersist()
-        pt.mark("end")
-        # time-based politeness: delay + rate-limit window sleeps (O3/O4);
-        # failed fetches count as requests (scraper.py:493,535)
-        self.pacer.after_wave(int(stats["dequeued"] or 0))
-        return int(stats["dequeued"] or 0), inserted
+        # reclaimed by the ContextCleaner once the delta references drop
+        # (the loop holds them one extra wave for read-your-writes)
+        return (int(stats["dequeued"] or 0), inserted, commit_fn,
+                _WaveDelta(fetched=fetched, new_links=new_links))
 
     def _discover(
-        self, fetched: DataFrame, links_all: DataFrame, bloom: BloomShardStore | None
+        self, fetched: DataFrame, links_all: DataFrame,
+        bloom: BloomShardStore | None,
+        prev_delta: "_WaveDelta | None" = None,
     ) -> DataFrame:
         """Parsed pages -> candidates with an ``UNSEEN_COL`` verdict via the
         shared scheduling operator (operators/schedule.py).
@@ -901,8 +967,28 @@ class CrawlEngine:
             # branches (sure-new, suspect anti-join) read cached blocks
             cand = schedule.with_bloom_flag(cand, bloom).localCheckpoint(
                 eager=True)
-            return schedule.flag_unseen(cand, links_all, bloom,
-                                        seen_count=seen_count)
+            flagged = schedule.flag_unseen(cand, links_all, bloom,
+                                           seen_count=seen_count)
+            if prev_delta is not None and prev_delta.new_links is not None:
+                # pipelined-commit staleness guard: the previous wave's
+                # bloom shard update runs as a commit extra task that may
+                # still be in flight, so a URL inserted last wave can read
+                # bloom-NEGATIVE and skip the exact join ("sure new").
+                # The exact-join branch is already covered (links_all
+                # includes the delta rows); re-AND the verdict against the
+                # wave-sized delta to close the sure-new branch too.
+                hit = F.broadcast(
+                    prev_delta.new_links.select("url_hash", "url")
+                    .withColumn("__dhit", F.lit(True)))
+                flagged = (
+                    flagged.join(hit, ["url_hash", "url"], "left")
+                    .withColumn(
+                        schedule.UNSEEN_COL,
+                        F.col(schedule.UNSEEN_COL)
+                        & F.col("__dhit").isNull())
+                    .drop("__dhit")
+                )
+            return flagged
         return schedule.flag_unseen(cand, links_all, None,
                                     seen_count=seen_count)
 
@@ -993,18 +1079,71 @@ class CrawlEngine:
         from crawler_to_md_spark.progress import get_logger, wave_progress
 
         log = get_logger()
-        while pending > 0 and waves < self.config.max_waves:
-            n, inserted = self._wave(self.store.batch_id + 1, run_id, bloom)
-            pending = pending - n + inserted
-            dequeued_total += n
-            waves += 1
-            counters = self.store.lineage.get("counters", {})
-            total = int(counters.get("seeds", 0)) + int(
-                counters.get("links_inserted", 0))
-            log.info(wave_progress(self.store.batch_id, n, inserted,
-                                   total - pending, total))
-            if n == 0:
-                break
+        counters0 = self.store.lineage.get("counters", {})
+        total = (int(counters0.get("seeds", 0))
+                 + int(counters0.get("links_inserted", 0)))
+
+        # ---- pipelined wave loop --------------------------------------
+        # wave k's snapshot commit runs on a one-slot background thread
+        # while wave k+1 computes (dequeue/fetch/discover).  Commits stay
+        # STRICTLY SERIALIZED: the previous commit is joined before the
+        # next is submitted, so every commit's read-modify-write sees a
+        # settled manifest and batch ids advance in order.  Wave k+1's
+        # frontier view is the last-committed snapshot (links_base,
+        # captured BEFORE wave k's commit was submitted — pinned files,
+        # identical whether or not that commit has landed) composed with
+        # wave k's in-memory delta (_WaveDelta), which is exactly the
+        # table the sequential loop would have read (read-your-writes).
+        # The politeness sleep (O3/O4) also overlaps the commit.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        inflight = None           # previous wave's commit future
+        inflight_had_rules = False
+        delta = None              # _WaveDelta of the in-flight wave
+        links_base = None         # committed scan the delta composes onto
+        next_wave_id = self.store.batch_id + 1
+        try:
+            while pending > 0 and waves < self.config.max_waves:
+                n, inserted, commit_fn, delta_new = self._wave(
+                    next_wave_id, run_id, bloom,
+                    links_base=links_base, prev_delta=delta)
+                if inflight is not None:
+                    inflight.result()
+                    if inflight_had_rules:
+                        self._rebase_robots()
+                if delta is not None and delta.new_links is not None:
+                    # consumed by both the landed commit and the compute
+                    # that just returned — safe to release now
+                    delta.new_links.unpersist()
+                # pin the base the NEXT wave composes delta_new onto
+                links_base = self.store.read("links")
+                rules = self._robots_pending
+                self._robots_pending = None
+                inflight = pool.submit(commit_fn, rules)
+                inflight_had_rules = rules is not None
+                delta = delta_new
+                next_wave_id += 1
+                pending = pending - n + inserted
+                dequeued_total += n
+                waves += 1
+                total += inserted
+                log.info(wave_progress(next_wave_id - 1, n, inserted,
+                                       total - pending, total))
+                # time-based politeness: delay + rate-limit window sleeps
+                # (O3/O4) run while the commit writes in the background;
+                # failed fetches count as requests (scraper.py:493,535)
+                self.pacer.after_wave(n)
+                if n == 0:
+                    break
+        finally:
+            if inflight is not None:
+                inflight.result()
+                if inflight_had_rules:
+                    self._rebase_robots()
+            if delta is not None and delta.new_links is not None:
+                delta.new_links.unpersist()
+            pool.shutdown(wait=True)
         lineage = dict(self.store.lineage)
         lineage["runs"] = run_id
         final_updates = {}
@@ -1041,6 +1180,21 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     # robots refresh (production: covers DISCOVERED hosts, not just seeds)
     # ------------------------------------------------------------------
+
+    def _rebase_robots(self) -> None:
+        """After a commit that persisted robots rules: swap the in-memory
+        union-chain for the committed parquet scan (plan hygiene — the
+        gate joins this frame every wave, and a 10^3-wave run would
+        otherwise accumulate 10^3 unions of mapInPandas lineage), plus
+        any rules fetched SINCE that commit was captured (the overlapped
+        compute may have produced new pending rules — they stay in the
+        in-memory frame until their own commit lands)."""
+        from crawler_to_md_spark.sources.robots import ensure_rules_cols
+
+        stored = ensure_rules_cols(self.store.read("robots"))
+        if self._robots_pending is not None:
+            stored = stored.unionByName(self._robots_pending)
+        self.robots = stored
 
     def _robots_host_count(self) -> int | None:
         """Covered-host count — the gate's broadcast-vs-shuffle hint.
