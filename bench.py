@@ -27,6 +27,11 @@ local[$SPARK_GRAFT_CPUS]):
               over a 500k-doc replicated corpus (docs/sec)
   q_quality   PII redaction + unigram-LM scoring + stratified mixture
               sampling over the same replicated corpus (docs/sec)
+  q_corpus_e2e  the archive→training path END TO END: WARC scan → fused
+              extraction → LSH cleaning pipeline → token-budget shards
+              on disk (MB/sec of archive in, shards out)
+  q_linkgraph integer PageRank over a ~1M-edge host graph + anchor-text
+              index over ~5M citation triples (edges/sec)
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors;
 sandbox has one machine, so N and 4N cores): `--scaling` re-runs q_schedule
@@ -495,16 +500,146 @@ def stage_health(spark, sf_dir) -> dict:
             "split_hash": int(ss_sum), "docs_per_sec": n / elapsed}
 
 
+def stage_linkgraph(spark, sf_dir) -> dict:
+    """Link-graph analytics throughput (operators/linkgraph.py): integer
+    PageRank (3 power iterations, per-round = two keyed aggregates + a
+    localCheckpoint — NOTHING data-sized on the driver) over a ~1M-edge
+    synthetic host graph, plus the anchor-text index (distinct-triple
+    grain, salted top-k) over a 500k-doc corpus citing 10 targets each
+    (~5M triples).  Hash-sums force every output column."""
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.operators import linkgraph
+
+    E = int(os.environ.get("CMS_LINKGRAPH_EDGES", "1000000"))
+    # dst mixes id div N so the pair map is injective-ish across the full
+    # range (a pure linear map mod N collapses to N distinct pairs)
+    edges = spark.range(E).selectExpr(
+        "concat('h', id % 100003) AS src",
+        "concat('h', (id * 37 + (id div 100003) * 7919 + 11) % 100003) "
+        "AS dst",
+    ).filter("src != dst").distinct().repartition(32).persist()
+    ne = edges.count()
+    reps = int(os.environ.get("CMS_CURATION_REPLICAS", "100"))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    docs = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).selectExpr("doc_id + r * 1000000 AS doc_id").selectExpr(
+        "concat('https://s', doc_id % 1000, '.example.com/p', doc_id) "
+        "AS url",
+        "transform(sequence(0, 9), j -> named_struct("
+        "'kind', 'link', "
+        "'text', concat('anchor ', (doc_id * 7 + CAST(j AS BIGINT)) % 97), "
+        "'media_ref', concat('https://t', "
+        "(doc_id * 13 + CAST(j AS BIGINT)) % 20000, '.example.com/page'), "
+        "'offset', j)) AS spans",
+    ).repartition(64).persist()
+    nd = docs.count()
+    for _ in range(2):   # warm JIT; report second pass
+        t0 = time.time()
+        ranks = linkgraph.pagerank(edges, iterations=3)
+        pr_sum = ranks.agg(F.sum(F.hash(*ranks.columns))).first()[0]
+        t1 = time.time()
+        idx = linkgraph.anchor_text_index(docs, k=3)
+        ai_sum = idx.agg(F.sum(F.hash(*idx.columns))).first()[0]
+        t2 = time.time()
+        elapsed = t2 - t0
+    edges.unpersist()
+    docs.unpersist()
+    return {"sec": elapsed, "edges": int(ne), "docs": int(nd),
+            "pagerank_sec": round(t1 - t0, 3),
+            "anchor_sec": round(t2 - t1, 3),
+            "pagerank_hash": int(pr_sum), "anchor_hash": int(ai_sum),
+            "edges_per_sec": ne * 3 / (t1 - t0)}
+
+
+def stage_corpus_e2e(spark, sf_dir) -> dict:
+    """The 100 TB ENTRY-TO-EXIT path as one stage: WARC archive (written
+    once, untimed) → splittable record-boundary scan → fused span
+    extraction → markdown-text projection → LSH cleaning pipeline (exact
+    dedup + quality gate + MinHash near-dup collapse + connected
+    components) → token-budget training shards on disk.  q_ingest
+    measures the parse alone; this is the number the engine exists for:
+    raw crawl archives in, deduplicated training shards out."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark import exports
+    from crawler_to_md_spark.functions.extraction import make_extract_udf
+    from crawler_to_md_spark.functions.markdown import spans_to_markdown_expr
+    from crawler_to_md_spark.operators.dedup import clean_pipeline
+    from crawler_to_md_spark.sources import archive
+
+    reps = int(os.environ.get("CMS_E2E_REPLICAS", "20"))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text")
+    docs = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).selectExpr(
+        "doc_id + r * 1000000 AS doc_id", "source", "text"
+    ).selectExpr(
+        "doc_id",
+        "'https://archive.example.org/' || source || '/' "
+        "|| CAST(doc_id AS STRING) AS url",
+        "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || "
+        "'</title></head><body><p>' || text || '</p></body></html>' "
+        "AS html",
+    ).repartition(32)
+    work = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        path = os.path.join(work, "warc")
+        archive.write_warc(docs, path, id_col="doc_id")
+        mb = sum(os.path.getsize(os.path.join(path, f))
+                 for f in os.listdir(path) if f.startswith("part-")) / 1e6
+        extract = make_extract_udf(None, None)
+        for i in range(2):   # warm python workers; report second pass
+            shards = os.path.join(work, f"shards{i}")
+            t0 = time.time()
+            recs = archive.read_warc(spark, path)
+            pages = recs.filter(
+                "corrupt IS NULL AND kind = 'response' "
+                "AND status_code = 200")
+            ok = pages.select(
+                "url", extract(F.col("html")).alias("doc")
+            ).select(
+                "url",
+                F.expr(spans_to_markdown_expr("doc.spans")).alias("text"))
+            cleaned = clean_pipeline(
+                ok.withColumn("__did", F.xxhash64("url")),
+                text_col="text", id_col="__did",
+                min_tokens=5, threshold=0.5, pairs="lsh",
+            ).drop("__did")
+            exports.export_training_shards(
+                cleaned, budget=4096, out_dir=shards, order_cols=["url"])
+            out = spark.read.parquet(shards).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tokens").alias("toks")).first()
+            elapsed = time.time() - t0
+        n = docs.count()
+        return {"sec": elapsed, "records": int(n),
+                "archive_mb": round(mb, 1),
+                "shard_docs": int(out["rows"]),
+                "shard_tokens": int(out["toks"]),
+                "records_per_sec": n / elapsed,
+                "mb_per_sec": mb / elapsed}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 STAGES = {
     "crawl": stage_crawl,
     "schedule": stage_schedule,
     "extract": stage_extract,
     "export": stage_export,
     "ingest": stage_ingest,
+    "corpus_e2e": stage_corpus_e2e,
     "dedup": stage_dedup,
     "curation": stage_curation,
     "quality": stage_quality,
     "health": stage_health,
+    "linkgraph": stage_linkgraph,
 }
 
 
@@ -735,6 +870,9 @@ def main() -> None:
             "dedup_docs_per_sec": detail["q_dedup"]["docs_per_sec"],
             "curation_docs_per_sec": detail["q_curation"]["docs_per_sec"],
             "quality_docs_per_sec": detail["q_quality"]["docs_per_sec"],
+            "e2e_mb_per_sec": detail["q_corpus_e2e"]["mb_per_sec"],
+            "linkgraph_edges_per_sec":
+                detail["q_linkgraph"]["edges_per_sec"],
         },
         "detail": detail,
     }
