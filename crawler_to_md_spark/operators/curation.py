@@ -591,7 +591,11 @@ def dup_window_fraction(
     ``row_number`` straggler task), the dup test is a many-to-one hash
     join against the one-row-per-key keeper table, and the per-document
     rollup is a second partial aggregate.  Two shuffles total, both on
-    near-uniform keys."""
+    near-uniform keys.  ``docs``'s lineage is evaluated once here (the
+    explode feeds both the keeper agg and the join probe) but callers
+    composing this with :func:`drop_window_dups` read ``docs`` again for
+    the semi join — persist an expensive input lineage first
+    (``clean_pipeline`` fences this internally)."""
     ex = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(window_keys(F.col(text_col), n)).alias("__pos", "__w"),

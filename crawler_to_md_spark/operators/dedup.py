@@ -590,7 +590,13 @@ def drop_near_dups(
 ) -> DataFrame:
     """The removal pass a training-data pipeline actually runs: keep every
     document except non-keeper cluster members (left-anti join against the
-    component table's losers)."""
+    component table's losers).
+
+    ``docs`` is read more than once (pair generation + the anti-join
+    probe side) and connected components runs its own job loop — persist
+    or checkpoint an EXPENSIVE input lineage first (``clean_pipeline``
+    fences this internally; callers composing ad hoc should do the
+    same)."""
     losers = near_dup_components(docs, text_col, threshold).filter(
         F.col("doc_id") != F.col("component")
     )
