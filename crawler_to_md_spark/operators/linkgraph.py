@@ -175,6 +175,13 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the result and release the iteration state: without
+    # this the persisted nodes/edge-layout frames outlive the call (a
+    # storage leak across repeated invocations), and a lazy return would
+    # re-run the last un-checkpointed rounds once per consumer
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    edges_deg.unpersist()
     return ranks
 
 
