@@ -357,3 +357,47 @@ def test_observation_miss_is_engine_scoped(spark, corpus_df, tmp_path):
     assert out2["dequeued"] == out1["dequeued"]
     # observed metrics worked for the fresh engine — no fallback flag
     assert not eng2._obs_state.get("obs_unavailable")
+
+
+def test_pipelined_commit_failure_leaves_resumable_store(
+        spark, corpus_df, tmp_path):
+    """Crash consistency under the pipelined wave loop: if a wave's
+    background commit fails, run() must propagate the error, the store
+    must stay at the last LANDED snapshot (no torn manifest), and a
+    fresh engine on the same warehouse must resume to the same end state
+    a clean crawl reaches."""
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), corpus=corpus_df,
+        config=CrawlConfig(scope_domain="example.com", max_retries=3),
+    )
+    eng.seed([corpus.seed_url()])
+
+    real_commit = eng.store.commit
+    calls = {"n": 0}
+
+    def failing_commit(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:          # fail the third wave's commit
+            raise RuntimeError("injected commit failure")
+        return real_commit(*a, **kw)
+
+    eng.store.commit = failing_commit
+    with pytest.raises(RuntimeError, match="injected commit failure"):
+        eng.run()
+    eng.store.commit = real_commit
+
+    # manifest is the last landed snapshot; lineage is consistent with it
+    landed = eng.store.batch_id
+    assert landed >= 1
+    assert eng.store.lineage["frontier_offset"] == landed
+
+    # a FRESH engine resumes from the snapshot and completes the crawl
+    eng2 = CrawlEngine(
+        spark, str(tmp_path / "wh"), corpus=corpus_df,
+        config=CrawlConfig(scope_domain="example.com", max_retries=3),
+    )
+    eng2.run_to_completion()
+    golden = corpus.python_golden_crawl(500 * M)
+    got = {_gid(r["url"]) for r in eng2.links().collect()}
+    assert got == set(golden)
+    assert eng2.links().filter("NOT visited").count() == 0
