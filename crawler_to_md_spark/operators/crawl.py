@@ -98,6 +98,11 @@ class _WaveDelta:
 
     fetched: DataFrame
     new_links: "DataFrame | None"
+    # exact counts from the wave's observed stats: the composition joins
+    # broadcast these frames only while they are broadcast-sized (an
+    # uncapped wave on a huge frontier must not broadcast millions of rows)
+    n_fetched: int = 0
+    n_new: int = 0
 
 
 def _observation_result(obs: Observation, timeout: float = 5.0,
@@ -540,13 +545,16 @@ class CrawlEngine:
             if prev_delta is not None:
                 # wave k's dequeued urls are visited now (O2: every
                 # dequeued URL, success or failure); wave-sized frame ->
-                # broadcast the flag join.  retry_count is NOT patched:
-                # within a run a visited row never re-dequeues, and the
-                # committed value (what resume reads) comes from wave k's
-                # commit, which lands before any later commit.
-                upd_prev = F.broadcast(
-                    prev_delta.fetched.select("url")
-                    .withColumn("__pv", F.lit(True)))
+                # broadcast the flag join while it is broadcast-sized
+                # (an uncapped wave falls back to the planner's choice).
+                # retry_count is NOT patched: within a run a visited row
+                # never re-dequeues, and the committed value (what resume
+                # reads) comes from wave k's commit, which lands before
+                # any later commit.
+                upd_prev = (prev_delta.fetched.select("url")
+                            .withColumn("__pv", F.lit(True)))
+                if prev_delta.n_fetched <= schedule.BROADCAST_SEEN_MAX:
+                    upd_prev = F.broadcast(upd_prev)
                 links_all = (
                     links_base.join(upd_prev, "url", "left")
                     .withColumn(
@@ -915,7 +923,9 @@ class CrawlEngine:
         # reclaimed by the ContextCleaner once the delta references drop
         # (the loop holds them one extra wave for read-your-writes)
         return (int(stats["dequeued"] or 0), inserted, commit_fn,
-                _WaveDelta(fetched=fetched, new_links=new_links))
+                _WaveDelta(fetched=fetched, new_links=new_links,
+                           n_fetched=int(stats["dequeued"] or 0),
+                           n_new=inserted))
 
     def _discover(
         self, fetched: DataFrame, links_all: DataFrame,
@@ -977,9 +987,10 @@ class CrawlEngine:
                 # The exact-join branch is already covered (links_all
                 # includes the delta rows); re-AND the verdict against the
                 # wave-sized delta to close the sure-new branch too.
-                hit = F.broadcast(
-                    prev_delta.new_links.select("url_hash", "url")
-                    .withColumn("__dhit", F.lit(True)))
+                hit = (prev_delta.new_links.select("url_hash", "url")
+                       .withColumn("__dhit", F.lit(True)))
+                if prev_delta.n_new <= schedule.BROADCAST_SEEN_MAX:
+                    hit = F.broadcast(hit)
                 flagged = (
                     flagged.join(hit, ["url_hash", "url"], "left")
                     .withColumn(
