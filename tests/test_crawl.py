@@ -401,3 +401,27 @@ def test_pipelined_commit_failure_leaves_resumable_store(
     got = {_gid(r["url"]) for r in eng2.links().collect()}
     assert got == set(golden)
     assert eng2.links().filter("NOT visited").count() == 0
+
+
+def test_bloom_two_branch_path_with_pipelined_commits(
+        spark, corpus_df, golden, tmp_path, monkeypatch):
+    """Force the >2M-frontier bloom form (sure-new branch + suspect
+    anti-join) on every wave by dropping the broadcast bound to 0, with
+    bloom on.  Under the pipelined loop the previous wave's bloom shard
+    update may still be in flight when the next wave discovers, so a
+    just-inserted URL can read bloom-NEGATIVE ("sure new"); the delta
+    re-AND guard must close that branch — the end state must equal the
+    golden model with ZERO duplicate frontier rows."""
+    from crawler_to_md_spark.operators import schedule
+
+    monkeypatch.setattr(schedule, "BROADCAST_SEEN_MAX", 0)
+    cfg = CrawlConfig(scope_domain="example.com", max_retries=3,
+                      use_bloom=True)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus=corpus_df,
+                      config=cfg)
+    eng.seed([corpus.seed_url()])
+    eng.run_to_completion()
+    links = eng.links()
+    assert {_gid(r["url"]) for r in links.collect()} == set(golden)
+    dupes = (links.groupBy("url").count().filter("count > 1").count())
+    assert dupes == 0
